@@ -1,0 +1,419 @@
+"""Fused block-sparse Gaussian field evaluation (Pallas TPU kernel).
+
+This is the TPU replacement for the reference's CUDA renderer stack
+(`submodules/cuda_renderer/src/{ray_aabb.cu,volume_renderer.cu}`): per-ray
+Gaussian culling + field accumulation. The design is TPU-shaped rather than a
+port of the per-ray-thread CUDA model:
+
+  1. **Cull**: each Gaussian's 3-sigma bounding sphere is projected to a
+     (theta, phi, r) footprint interval around the scan point; a boolean block
+     mask marks which (angular-tile x radial-tile) blocks it can touch
+     (replaces the slab-test index lists of `ray_aabb.cu:10-61`).
+  2. **Compact**: per tile, the indices of intersecting Gaussians are
+     compacted into a fixed-capacity buffer with a cumsum+scatter (static
+     shapes; overflow reported, not silently wrong).
+  3. **Fused kernel**: per (tile, sample-block, gaussian-block) the kernel
+     computes the Mahalanobis quadratic form as an MXU matmul
+     (see `ops/math.py` quadratic-form compilation), applies exp on the VPU,
+     and contracts against per-Gaussian channel weights — never materializing
+     the (samples x gaussians) matrix in HBM. Blocks beyond a tile's Gaussian
+     count are skipped entirely.
+
+Gradients: `fused_field` carries a custom VJP whose backward recomputes the
+per-tile PDF (flash-attention style) and emits two matmuls per tile — fixing
+the reference's zero-gradient CUDA autograd placeholder
+(`gaussian_model/cuda_autograd.py:147-191`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+
+FDIM = gmath.QUADRATIC_DIM  # 10
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused field kernel: out[t, a, c] = sum_k w[t, k, c] * exp(-0.5 * <x[t,a], g[t,k]>)
+# ---------------------------------------------------------------------------
+
+
+def _field_fwd_kernel(counts_ref, x_ref, g_ref, w_ref, out_ref):
+    k = pl.program_id(2)
+    t = pl.program_id(0)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    g_tile = g_ref.shape[1]
+
+    @pl.when(k * g_tile < counts_ref[t])
+    def _():
+        m = jax.lax.dot_general(
+            x_ref[0], g_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (A_SUB, G_TILE)
+        p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+        out_ref[0] += jnp.dot(
+            p, w_ref[0], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+def _field_bwd_kernel(counts_ref, x_ref, g_ref, w_ref, go_ref, dg_ref, dw_ref):
+    a = pl.program_id(2)
+    t = pl.program_id(0)
+
+    @pl.when(a == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    g_tile = g_ref.shape[1]
+
+    @pl.when(pl.program_id(1) * g_tile < counts_ref[t])
+    def _():
+        hi = jax.lax.Precision.HIGHEST
+        m = jax.lax.dot_general(
+            x_ref[0], g_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # (A_SUB, G_TILE)
+        p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+        # dw[k, c] = sum_a p[a, k] go[a, c]
+        dw_ref[0] += jax.lax.dot_general(
+            p, go_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        # dm[a, k] = -0.5 * p[a, k] * sum_c w[k, c] go[a, c]
+        wg = jax.lax.dot_general(
+            go_ref[0], w_ref[0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )  # (A_SUB, G_TILE)
+        dm = jnp.where(m > 0.0, -0.5 * p * wg, 0.0)
+        # dg[k, f] = sum_a dm[a, k] x[a, f]
+        dg_ref[0] += jax.lax.dot_general(
+            dm, x_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+
+
+def _tile_counts(shape_t, shape_a, shape_k, a_sub, g_tile):
+    return shape_t, pl.cdiv(shape_a, a_sub), pl.cdiv(shape_k, g_tile)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+)
+def fused_field(
+    xfeat: jax.Array,  # (T, A, 10) per-tile sample monomials
+    gfeat: jax.Array,  # (T, K, 10) per-tile gathered Gaussian forms
+    weights: jax.Array,  # (T, K, C) per-tile channel weights (0 on padding)
+    counts: jax.Array,  # (T,) int32 valid Gaussians per tile
+    a_sub: int = 1024,
+    g_tile: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """out[t, a, c] = sum_k weights[t,k,c] * exp(-0.5 * max(<x, g>, 0))."""
+    return _fused_field_fwd_impl(
+        xfeat, gfeat, weights, counts, a_sub, g_tile, interpret
+    )
+
+
+def _fused_field_fwd_impl(xfeat, gfeat, weights, counts, a_sub, g_tile, interpret):
+    t, a, _ = xfeat.shape
+    k = gfeat.shape[1]
+    c = weights.shape[2]
+    a_sub = min(a_sub, a)
+    g_tile = min(g_tile, k)
+    interpret = _interpret_default() if interpret is None else interpret
+
+    grid = (t, pl.cdiv(a, a_sub), pl.cdiv(k, g_tile))
+    out = pl.pallas_call(
+        _field_fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, a_sub, FDIM), lambda t, a, k, c_ref: (t, a, 0)),
+                pl.BlockSpec((1, g_tile, FDIM), lambda t, a, k, c_ref: (t, k, 0)),
+                pl.BlockSpec((1, g_tile, c), lambda t, a, k, c_ref: (t, k, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, a_sub, c), lambda t, a, k, c_ref: (t, a, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((t, a, c), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * a * k * (FDIM + c),
+            bytes_accessed=4 * t * (a * FDIM + k * (FDIM + c) + a * c),
+            transcendentals=t * a * k,
+        ),
+    )(counts, xfeat, gfeat, weights)
+    return out
+
+
+def _fused_field_vjp_fwd(xfeat, gfeat, weights, counts, a_sub, g_tile, interpret):
+    out = _fused_field_fwd_impl(
+        xfeat, gfeat, weights, counts, a_sub, g_tile, interpret
+    )
+    return out, (xfeat, gfeat, weights, counts)
+
+
+def _fused_field_vjp_bwd(a_sub, g_tile, interpret, residuals, go):
+    xfeat, gfeat, weights, counts = residuals
+    t, a, _ = xfeat.shape
+    k = gfeat.shape[1]
+    c = weights.shape[2]
+    a_sub_eff = min(a_sub, a)
+    g_tile_eff = min(g_tile, k)
+    interp = _interpret_default() if interpret is None else interpret
+
+    # Grid: accumulate over sample blocks (innermost) for each gaussian block.
+    grid = (t, pl.cdiv(k, g_tile_eff), pl.cdiv(a, a_sub_eff))
+    dg, dw = pl.pallas_call(
+        _field_bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, a_sub_eff, FDIM), lambda t, k, a, c_ref: (t, a, 0)),
+                pl.BlockSpec((1, g_tile_eff, FDIM), lambda t, k, a, c_ref: (t, k, 0)),
+                pl.BlockSpec((1, g_tile_eff, c), lambda t, k, a, c_ref: (t, k, 0)),
+                pl.BlockSpec((1, a_sub_eff, c), lambda t, k, a, c_ref: (t, a, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, g_tile_eff, FDIM), lambda t, k, a, c_ref: (t, k, 0)
+                ),
+                pl.BlockSpec((1, g_tile_eff, c), lambda t, k, a, c_ref: (t, k, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((t, k, FDIM), jnp.float32),
+            jax.ShapeDtypeStruct((t, k, c), jnp.float32),
+        ],
+        interpret=interp,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * t * a * k * (FDIM + c),
+            bytes_accessed=4 * t * (a * FDIM + 2 * k * (FDIM + c) + a * c),
+            transcendentals=t * a * k,
+        ),
+    )(counts, xfeat, gfeat, weights, go)
+    # Sample features carry no gradient (stop-gradient geometry), counts are
+    # integral.
+    return None, dg, dw, None
+
+
+fused_field.defvjp(_fused_field_vjp_fwd, _fused_field_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Cull + compact
+# ---------------------------------------------------------------------------
+
+
+class TileSpec(NamedTuple):
+    """Static tiling of the (r, theta, phi) sample grid."""
+
+    t_theta: int = 8
+    t_phi: int = 16
+    t_r: int = 64
+    k_max: int = 2048  # per-tile Gaussian capacity
+    a_sub: int = 1024
+    g_tile: int = 256
+    sigma_cull: float = 3.0
+    margin: float = 1.1  # safety factor on angular footprints
+
+
+class CompactTiles(NamedTuple):
+    indices: jax.Array  # (T, k_max) int32 Gaussian ids (0-padded)
+    counts: jax.Array  # (T,) int32
+    slot_valid: jax.Array  # (T, k_max) float32 1/0
+    overflowed: jax.Array  # () bool — any tile truncated
+    n_theta_t: int
+    n_phi_t: int
+    n_r_t: int
+
+
+def cull_tiles(
+    means: jax.Array,
+    scales: jax.Array,
+    alive: jax.Array,
+    cam: jax.Array,
+    theta: jax.Array,  # (ns,)
+    phi: jax.Array,  # (ns,)
+    r: jax.Array,  # (num_r,)
+    spec: TileSpec,
+    scaling_modifier: float = 1.0,
+) -> CompactTiles:
+    """Project Gaussian bounding spheres to (theta, phi, r) footprints and
+    build per-tile compact index lists.
+
+    Conservative analogue of the CUDA ray-AABB filter (`ray_aabb.cu:10-61`)
+    at tile granularity.
+    """
+    ns = theta.shape[0]
+    num_r = r.shape[0]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    n_rt = pl.cdiv(num_r, spec.t_r)
+
+    rel = means - cam[None, :]
+    sph = gmath.cartesian_to_spherical(rel)  # (G, 3): d, theta, phi
+    d = jnp.maximum(sph[:, 0], 1e-9)
+    radius = (
+        spec.sigma_cull
+        * scaling_modifier
+        * jnp.max(scales, axis=-1)
+        * spec.margin
+    )
+    # Dead Gaussians get empty footprints.
+    radius = jnp.where(alive > 0.5, radius, -1.0)
+
+    alpha = jnp.arcsin(jnp.clip(radius / d, -1.0, 1.0))
+    th_lo, th_hi = sph[:, 1] - alpha, sph[:, 1] + alpha
+    # Conservative phi half-width: sin(theta) attains its minimum over the
+    # theta interval at an endpoint (sin is concave on [0, pi]).
+    sin_min = jnp.maximum(
+        jnp.minimum(jnp.sin(jnp.clip(th_lo, 0.0, jnp.pi)),
+                    jnp.sin(jnp.clip(th_hi, 0.0, jnp.pi))),
+        1e-3,
+    )
+    dphi = jnp.arcsin(jnp.clip(radius / (d * sin_min), -1.0, 1.0))
+    ph_lo, ph_hi = sph[:, 2] - dphi, sph[:, 2] + dphi
+    r_lo, r_hi = d - radius, d + radius
+
+    def interval_tile_overlap(lo, hi, axis_vals, tile_size, n_tiles):
+        # Tile bounds from the (monotonic) axis grid; padded tiles reuse the
+        # last value, giving degenerate (still correct) bounds.
+        pad = n_tiles * tile_size - axis_vals.shape[0]
+        av = jnp.concatenate([axis_vals, jnp.full((pad,), axis_vals[-1])])
+        tiles = av.reshape(n_tiles, tile_size)
+        t_lo = jnp.minimum(tiles[:, 0], tiles[:, -1])
+        t_hi = jnp.maximum(tiles[:, 0], tiles[:, -1])
+        return (lo[:, None] <= t_hi[None, :]) & (hi[:, None] >= t_lo[None, :])
+
+    m_th = interval_tile_overlap(th_lo, th_hi, theta, spec.t_theta, n_tt)
+    m_ph = interval_tile_overlap(ph_lo, ph_hi, phi, spec.t_phi, n_pt)
+    m_r = interval_tile_overlap(r_lo, r_hi, r, spec.t_r, n_rt)
+    live = radius >= 0.0
+
+    mask = (
+        m_r[:, :, None, None]
+        & m_th[:, None, :, None]
+        & m_ph[:, None, None, :]
+        & live[:, None, None, None]
+    )  # (G, n_rt, n_tt, n_pt)
+    g = means.shape[0]
+    n_tiles = n_rt * n_tt * n_pt
+    mask2 = mask.reshape(g, n_tiles)
+
+    raw_counts = jnp.sum(mask2.astype(jnp.int32), axis=0)  # (T,)
+    pos = jnp.cumsum(mask2.astype(jnp.int32), axis=0) - 1  # (G, T)
+    valid = mask2 & (pos < spec.k_max)
+    tile_ids = jnp.broadcast_to(jnp.arange(n_tiles)[None, :], (g, n_tiles))
+    flat_idx = jnp.where(valid, tile_ids * spec.k_max + pos, n_tiles * spec.k_max)
+    gauss_ids = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, n_tiles)
+    )
+    indices = (
+        jnp.zeros((n_tiles * spec.k_max,), jnp.int32)
+        .at[flat_idx.reshape(-1)]
+        .set(gauss_ids.reshape(-1), mode="drop")
+        .reshape(n_tiles, spec.k_max)
+    )
+    counts = jnp.minimum(raw_counts, spec.k_max)
+    slot_valid = (
+        jnp.arange(spec.k_max)[None, :] < counts[:, None]
+    ).astype(jnp.float32)
+    return CompactTiles(
+        indices=indices,
+        counts=counts,
+        slot_valid=slot_valid,
+        overflowed=jnp.any(raw_counts > spec.k_max),
+        n_theta_t=n_tt,
+        n_phi_t=n_pt,
+        n_r_t=n_rt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tiled sample-feature layout
+# ---------------------------------------------------------------------------
+
+
+def tile_points(points: jax.Array, ns: int, num_r: int, spec: TileSpec,
+                n_tt: int, n_pt: int, n_rt: int) -> jax.Array:
+    """(num_r, ns, ns, 3) world points -> (T, S, 10) per-tile monomials.
+
+    Tile order matches `cull_tiles` mask layout: (r_t, theta_t, phi_t); sample
+    order within a tile is (r, theta, phi) — unpacked by `untile_field`.
+    """
+    pr = n_rt * spec.t_r - num_r
+    pt = n_tt * spec.t_theta - ns
+    pp = n_pt * spec.t_phi - ns
+    pts = jnp.pad(points, ((0, pr), (0, pt), (0, pp), (0, 0)))
+    pts = pts.reshape(
+        n_rt, spec.t_r, n_tt, spec.t_theta, n_pt, spec.t_phi, 3
+    ).transpose(0, 2, 4, 1, 3, 5, 6)
+    pts = pts.reshape(n_rt * n_tt * n_pt, spec.t_r * spec.t_theta * spec.t_phi, 3)
+    return gmath.point_monomials(pts)
+
+
+def untile_field(out: jax.Array, ns: int, num_r: int, spec: TileSpec,
+                 n_tt: int, n_pt: int, n_rt: int) -> jax.Array:
+    """(T, S, C) tiled field -> (num_r, ns, ns, C)."""
+    c = out.shape[-1]
+    full = out.reshape(
+        n_rt, n_tt, n_pt, spec.t_r, spec.t_theta, spec.t_phi, c
+    ).transpose(0, 3, 1, 4, 2, 5, 6)
+    full = full.reshape(
+        n_rt * spec.t_r, n_tt * spec.t_theta, n_pt * spec.t_phi, c
+    )
+    return full[:num_r, :ns, :ns]
+
+
+def fused_gaussian_field(
+    gfeat: jax.Array,  # (G, 10)
+    channel_weights: jax.Array,  # (G, C)
+    points: jax.Array,  # (num_r, ns, ns, 3)
+    tiles: CompactTiles,
+    spec: TileSpec,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Evaluate sum_g w_gc * pdf_g at every shell sample, block-sparsely.
+
+    Returns:
+      ((num_r, ns, ns, C) field, overflow flag).
+    """
+    num_r, ns = points.shape[0], points.shape[1]
+    xfeat = tile_points(
+        points, ns, num_r, spec, tiles.n_theta_t, tiles.n_phi_t, tiles.n_r_t
+    )
+    g_tiles = gfeat[tiles.indices]  # (T, K, 10) gather (scatter-add on bwd)
+    w_tiles = channel_weights[tiles.indices] * tiles.slot_valid[..., None]
+    out = fused_field(
+        xfeat, g_tiles, w_tiles, tiles.counts,
+        spec.a_sub, spec.g_tile, interpret,
+    )
+    field = untile_field(
+        out, ns, num_r, spec, tiles.n_theta_t, tiles.n_phi_t, tiles.n_r_t
+    )
+    return field, tiles.overflowed

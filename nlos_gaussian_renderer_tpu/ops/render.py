@@ -1,0 +1,338 @@
+"""Differentiable confocal transient rendering (dense jnp path).
+
+Renders, for one scan point on the visible wall, the time-of-flight histogram
+of the hidden Gaussian scene by integrating the Gaussian field over spherical
+shells (NeTF-style). Semantics follow the reference:
+
+  - field evaluation + weighting: `gaussian_model.estimate_rho_w_no_occlusion`
+    (`gaussian_model.py:346-364`) and `estimate_rho_w` (`:297-344`),
+  - attenuation / angular integration: `gaussian_transient_rendering`
+    (`nlos_helpers.py:206-232`),
+  - aggregate-occlusion semantics: CUDA `volume_render_kernel`
+    (`volume_renderer.cu:80-137`).
+
+TPU-first design: the Gaussian PDF evaluation is a quadratic-form matmul
+(see `ops/math.py`), so the whole no-occlusion render is
+    exp(-0.5 * X10 @ G10^T) @ weights
+— two MXU matmuls around a fused elementwise exp. The sequential per-ray
+transmittance march of the CUDA kernel becomes exp(-cumsum) along the radius
+axis (a parallel scan), and the per-Gaussian cumprod of the reference Python
+path becomes exp(cumsum(log)) — both XLA-parallel, no sequential loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nlos_gaussian_renderer_tpu.models.scene import GaussianScene
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.fused import (
+    TileSpec,
+    cull_tiles,
+    fused_gaussian_field,
+)
+from nlos_gaussian_renderer_tpu.ops.sampling import ShellGrid, attenuation_weights, shell_grid
+
+
+class RenderSettings(NamedTuple):
+    """Static rendering configuration (hashable; safe as a jit static arg)."""
+
+    num_sampling_points: int
+    start: int
+    end: int
+    occlusion: bool = False
+    rendering_type: str = "netf"  # 'netf' | 'nlos-neus'
+    occlusion_mode: str = "aggregate"  # 'aggregate' | 'per_gaussian'
+    scaling_modifier: float = 1.0
+    apply_volume_y2_factor: bool = True
+    # 'matmul': quadratic-form MXU path; 'direct': broadcasted-diff reference.
+    pdf_impl: str = "matmul"
+    # 'dense': pure-jnp field; 'pallas': fused block-sparse kernel.
+    backend: str = "dense"
+    tile_spec: TileSpec = TileSpec()
+
+    @property
+    def num_bins(self) -> int:
+        return self.end - self.start
+
+    @classmethod
+    def from_config(cls, cfg) -> "RenderSettings":
+        return cls(
+            num_sampling_points=cfg.num_sampling_points,
+            start=cfg.start,
+            end=cfg.end,
+            occlusion=cfg.occlusion,
+            rendering_type=cfg.rendering_type,
+            occlusion_mode=cfg.occlusion_mode,
+            scaling_modifier=cfg.scaling_modifier,
+            apply_volume_y2_factor=cfg.apply_volume_y2_factor,
+            backend="pallas" if cfg.renderer == "pallas" else "dense",
+        )
+
+
+def view_albedo(scene: GaussianScene, camera_pos, active_sh_degree) -> jax.Array:
+    """Per-Gaussian view-dependent albedo rho (N,).
+
+    rho = clamp(eval_sh(sh, normalize(mu - cam)) + 0.5, 0) — reference
+    `gaussian_model.py:303-310`. `active_sh_degree` may be traced (annealing);
+    bands above it are masked rather than sliced (static shapes).
+    """
+    dirs = scene.means - jnp.asarray(camera_pos)[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    sh_val = gmath.eval_sh_dynamic(
+        scene.sh, dirs, active_sh_degree, scene.max_sh_degree
+    )
+    return jnp.clip(sh_val + 0.5, min=0.0)
+
+
+def gaussian_pdf(
+    scene: GaussianScene, points, settings: RenderSettings
+) -> jax.Array:
+    """Unnormalized anisotropic Gaussian PDFs exp(-0.5 * maha).
+
+    Args:
+      scene: N Gaussians.
+      points: (A, 3) sample positions.
+    Returns:
+      (A, N) PDF values.
+    """
+    mod = settings.scaling_modifier
+    if settings.pdf_impl == "matmul":
+        gfeat = scene.quadratic_form(mod)
+        xfeat = gmath.point_monomials(points)
+        maha = gmath.mahalanobis_matmul(xfeat, gfeat)
+    else:
+        maha = gmath.mahalanobis_direct(
+            points, scene.means, scene.scales * mod, scene.rotations
+        )
+    return jnp.exp(-0.5 * maha)
+
+
+def _exclusive_cumsum(x, axis):
+    cs = jnp.cumsum(x, axis=axis)
+    return cs - x  # exclusive: sum over strictly-preceding entries
+
+
+def field_response(
+    scene: GaussianScene,
+    points,
+    camera_pos,
+    c,
+    delta_t,
+    active_sh_degree,
+    settings: RenderSettings,
+    gauss_axis: Optional[str] = None,
+) -> jax.Array:
+    """rho-weighted emission per sample point (A,), A = num_r * ns^2.
+
+    Dispatches on (occlusion, rendering_type, occlusion_mode):
+      - no occlusion:     sum_g pdf * op * rho                    (reference default)
+      - netf/aggregate:   (sum_g pdf*op*rho) * T * c*dt,  T = exp(-c*dt * excl-cumsum_r(sum_g pdf*op))
+      - netf/per_gaussian: sum_g pdf*op * T_g * rho * c*dt, T_g from the
+        Gaussian's own density (reference Python semantics incl. the +1e-7
+        inside the cumprod, `gaussian_model.py:316-324`)
+      - nlos-neus/*:      alpha compositing analogues (`gaussian_model.py:326-339`)
+
+    When `gauss_axis` is set (shard_map over a Gaussian-sharded scene), every
+    sum over Gaussians is psum-reduced across that mesh axis. This is exact
+    for all modes: each mode's per-sample output is a sum over Gaussians of
+    per-Gaussian terms (per_gaussian transmittance depends only on the
+    Gaussian's own density; aggregate transmittance is computed *after* the
+    psum of the aggregate density).
+    """
+    ns2 = settings.num_sampling_points**2
+    num_r = settings.num_bins
+    pdf = gaussian_pdf(scene, points, settings)  # (A, N)
+    op = scene.opacities[:, 0]  # (N,) alive-masked
+    rho = view_albedo(scene, camera_pos, active_sh_degree)  # (N,)
+
+    def gsum(x):
+        return x if gauss_axis is None else jax.lax.psum(x, gauss_axis)
+
+    def weighted(w):
+        # (A, N) @ (N,) with full f32 accumulation (this XLA build's default
+        # matmul precision downcasts; see tests/test_math.py precision notes).
+        return jnp.einsum("an,n->a", pdf, w, precision=jax.lax.Precision.HIGHEST)
+
+    if not settings.occlusion:
+        # `estimate_rho_w_no_occlusion` (`gaussian_model.py:346-364`).
+        return gsum(weighted(op * rho))
+
+    cdt = c * delta_t
+    if settings.occlusion_mode == "aggregate":
+        # CUDA kernel semantics (`volume_renderer.cu:80-137`): one
+        # transmittance from the aggregate mixture density per ray.
+        both = gsum(
+            jnp.stack([weighted(op), weighted(op * rho)], axis=0)
+        ).reshape(2, num_r, ns2)
+        density, rho_density = both[0], both[1]
+        if settings.rendering_type == "netf":
+            trans = jnp.exp(-cdt * _exclusive_cumsum(density, axis=0))
+            out = rho_density * trans * cdt
+        elif settings.rendering_type == "nlos-neus":
+            alpha = 1.0 - jnp.exp(-density * cdt)
+            trans = jnp.exp(
+                _exclusive_cumsum(jnp.log1p(-alpha + 1e-7), axis=0)
+            )
+            mean_rho = rho_density / jnp.maximum(density, 1e-12)
+            out = alpha * trans * mean_rho
+        else:
+            raise ValueError(settings.rendering_type)
+        return out.reshape(-1)
+
+    elif settings.occlusion_mode == "per_gaussian":
+        # Reference Python semantics (`gaussian_model.py:313-339`): each
+        # Gaussian is attenuated by its own accumulated density along r.
+        density = (pdf * op[None, :]).reshape(num_r, ns2, -1)  # (Nr, ns2, N)
+        if settings.rendering_type == "netf":
+            # T = cumprod(cat(ones, exp(-density*cdt) + 1e-7))[:-1]
+            #   = exp(exclusive_cumsum(log(exp(-density*cdt) + 1e-7)))
+            log_occ = jnp.log(jnp.exp(-density * cdt) + 1e-7)
+            trans = jnp.exp(_exclusive_cumsum(log_occ, axis=0))
+            out = jnp.sum(density * trans * rho[None, None, :], axis=-1) * cdt
+        elif settings.rendering_type == "nlos-neus":
+            alpha = 1.0 - jnp.exp(-density * cdt)
+            log_t = jnp.log(1.0 - alpha + 1e-7)
+            trans = jnp.exp(_exclusive_cumsum(log_t, axis=0))
+            out = jnp.sum(alpha * trans * rho[None, None, :], axis=-1)
+        else:
+            raise ValueError(settings.rendering_type)
+        return out.reshape(-1)
+    raise ValueError(settings.occlusion_mode)
+
+
+def field_response_pallas(
+    scene: GaussianScene,
+    grid: ShellGrid,
+    camera_pos,
+    c,
+    delta_t,
+    active_sh_degree,
+    settings: RenderSettings,
+    gauss_axis: Optional[str] = None,
+) -> jax.Array:
+    """Block-sparse fused-kernel version of `field_response`.
+
+    Supports the no-occlusion mode and both aggregate occlusion types (the
+    per-sample field is a Gaussian-sum in those modes, so culling + fused
+    accumulation is exact). The per_gaussian occlusion mode needs the
+    un-reduced (gaussian, sample) matrix and stays on the dense path.
+    """
+    ns2 = settings.num_sampling_points**2
+    num_r = settings.num_bins
+    spec = settings.tile_spec
+    op = scene.opacities[:, 0]
+    rho = view_albedo(scene, camera_pos, active_sh_degree)
+    gfeat = scene.quadratic_form(settings.scaling_modifier)
+
+    tiles = cull_tiles(
+        scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
+        grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
+    )
+
+    def gsum(x):
+        return x if gauss_axis is None else jax.lax.psum(x, gauss_axis)
+
+    if not settings.occlusion:
+        w = (op * rho)[:, None]  # (G, 1)
+        field, _ = fused_gaussian_field(
+            gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+        )
+        return gsum(field[..., 0].reshape(-1))
+
+    cdt = c * delta_t
+    if settings.occlusion_mode != "aggregate":
+        raise NotImplementedError(
+            "per_gaussian occlusion uses the dense backend"
+        )
+    w = jnp.stack([op, op * rho], axis=-1)  # (G, 2)
+    field, _ = fused_gaussian_field(
+        gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+    )
+    both = gsum(field.reshape(num_r, ns2, 2))
+    density, rho_density = both[..., 0], both[..., 1]
+    if settings.rendering_type == "netf":
+        trans = jnp.exp(-cdt * _exclusive_cumsum(density, axis=0))
+        out = rho_density * trans * cdt
+    elif settings.rendering_type == "nlos-neus":
+        alpha = 1.0 - jnp.exp(-density * cdt)
+        trans = jnp.exp(_exclusive_cumsum(jnp.log1p(-alpha + 1e-7), axis=0))
+        mean_rho = rho_density / jnp.maximum(density, 1e-12)
+        out = alpha * trans * mean_rho
+    else:
+        raise ValueError(settings.rendering_type)
+    return out.reshape(-1)
+
+
+def render_transient(
+    scene: GaussianScene,
+    camera_pos,
+    box_points,
+    c,
+    delta_t,
+    volume_position,
+    active_sh_degree,
+    settings: RenderSettings,
+    gauss_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Render the (num_r, ns^2) transient field and its (num_r,) histogram.
+
+    Pipeline (reference `gaussian_transient_rendering`, `nlos_helpers.py:192-232`):
+      field -> reshape (num_r, ns^2) -> * sin(theta)/r^2 -> * volume_y^2
+      -> sum over angles -> * dtheta*dphi.
+    """
+    grid = shell_grid(
+        camera_pos,
+        box_points,
+        settings.num_sampling_points,
+        settings.start,
+        settings.end,
+        c,
+        delta_t,
+    )
+    if settings.backend == "pallas" and (
+        not settings.occlusion or settings.occlusion_mode == "aggregate"
+    ):
+        out = field_response_pallas(
+            scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
+            gauss_axis=gauss_axis,
+        )
+    else:
+        # Sample positions carry no parameter dependence (reference builds
+        # them under no_grad, `nlos_helpers.py:311-315`).
+        points = jax.lax.stop_gradient(grid.points.reshape(-1, 3))
+        out = field_response(
+            scene, points, camera_pos, c, delta_t, active_sh_degree, settings,
+            gauss_axis=gauss_axis,
+        )
+    result = out.reshape(settings.num_bins, settings.num_sampling_points**2)
+    result = result * attenuation_weights(grid)
+    if settings.apply_volume_y2_factor:
+        # Radiometric factor the reference flags "WHAT?? WHY?" but which is
+        # load-bearing for the loss scale (`nlos_helpers.py:226`).
+        result = result * (jnp.asarray(volume_position)[1] ** 2)
+    hist = jnp.sum(result, axis=1) * grid.dtheta * grid.dphi
+    return result, hist
+
+
+def render_histogram(scene, camera_pos, box_points, c, delta_t, volume_position,
+                     active_sh_degree, settings: RenderSettings) -> jax.Array:
+    """(num_r,) histogram only."""
+    _, hist = render_transient(
+        scene, camera_pos, box_points, c, delta_t, volume_position,
+        active_sh_degree, settings,
+    )
+    return hist
+
+
+def mse_loss(pred_hist, target_hist) -> Tuple[jax.Array, jax.Array]:
+    """MSE + normalized ('equal') loss (reference `nlos_helpers.py:322-327`).
+
+    target_hist must already include the gt_times factor.
+    """
+    loss = jnp.mean((pred_hist - target_hist) ** 2)
+    loss_coffe = jnp.mean(target_hist**2)
+    return loss, loss / jnp.maximum(loss_coffe, 1e-20)

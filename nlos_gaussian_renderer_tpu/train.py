@@ -1,0 +1,319 @@
+"""Training: optimizer, jitted train step, and the loop driver.
+
+Reproduces the reference training semantics (`main.py:142-269`):
+  - Adam with six parameter groups and per-group LRs
+    (`gaussian_model.py:229-238`; eps=1e-15),
+  - log-linear position LR decay (`gaussian_model.py:239-242`),
+  - one (or a batch of) random confocal scan point(s) per iteration,
+  - MSE against the measured histogram window * gt_times,
+  - optional |opacity| / |scale| L1 regularizers (`main.py:204-208`),
+  - SH-degree annealing every 1000 iters (fixing the reference's inverted
+    `% 1000` test at `main.py:240-241` which fired on 999 of 1000 iters).
+
+TPU-first: the whole update is one jitted, donated train step; scan-point
+selection happens on device from a prefetched index stream; batching over scan
+points (batch_size > 1) amortizes compile/dispatch and feeds the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nlos_gaussian_renderer_tpu.configs.default import Config, OptimizationParams
+from nlos_gaussian_renderer_tpu.data.zaragoza import NLOSData
+from nlos_gaussian_renderer_tpu.models.scene import (
+    GaussianScene,
+    init_scene,
+    scene_param_labels,
+)
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.render import (
+    RenderSettings,
+    mse_loss,
+    render_transient,
+)
+from nlos_gaussian_renderer_tpu.ops.schedule import expon_lr_schedule
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    scene: GaussianScene
+    opt_state: Any
+    step: jax.Array  # int32 scalar, 1-based like the reference
+    active_sh_degree: jax.Array  # int32 scalar
+
+
+def make_optimizer(
+    optim: OptimizationParams, spatial_lr_scale: float = 1.0
+) -> optax.GradientTransformation:
+    """Six Adam groups matching `GaussianModel.training_setup`
+    (`gaussian_model.py:223-242`), with the position group on the Plenoxels
+    log-linear decay schedule."""
+
+    mu_schedule = expon_lr_schedule(
+        lr_init=optim.position_lr_init * spatial_lr_scale,
+        lr_final=optim.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=optim.position_lr_delay_mult,
+        max_steps=optim.position_lr_max_steps,
+    )
+
+    def adam(lr):
+        return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-15)
+
+    return optax.multi_transform(
+        {
+            "mu": adam(mu_schedule),
+            "f_dc": adam(optim.feature_lr),
+            "f_rest": adam(optim.feature_lr / 20.0),
+            "opacity": adam(optim.opacity_lr),
+            "scaling": adam(optim.scaling_lr),
+            "rotation": adam(optim.rotation_lr),
+            "frozen": optax.set_to_zero(),
+        },
+        param_labels=scene_param_labels,
+    )
+
+
+class StepAux(NamedTuple):
+    loss: jax.Array
+    equal_loss: jax.Array
+    pred_hist: jax.Array  # (B, num_r) prediction of the first batch element
+    target_hist: jax.Array
+
+
+def batched_loss_fn(
+    scene: GaussianScene,
+    cams: jax.Array,  # (B, 3)
+    targets: jax.Array,  # (B, num_r), already * gt_times
+    box_points: jax.Array,
+    c: float,
+    delta_t: float,
+    volume_position: jax.Array,
+    active_sh_degree: jax.Array,
+    settings: RenderSettings,
+    optim: OptimizationParams,
+    gauss_axis: Optional[str] = None,
+) -> Tuple[jax.Array, StepAux]:
+    def one(cam, target):
+        _, hist = render_transient(
+            scene, cam, box_points, c, delta_t, volume_position,
+            active_sh_degree, settings, gauss_axis=gauss_axis,
+        )
+        loss, eq = mse_loss(hist, target)
+        return loss, eq, hist
+
+    losses, eqs, hists = jax.vmap(one)(cams, targets)
+    loss = jnp.mean(losses)
+
+    if optim.regularization:
+        # Reference regs (`main.py:204-208`), masked to alive slots so dead
+        # capacity padding cannot bias the means.
+        n_alive = scene.num_alive
+        op_sum = jnp.sum(jnp.abs(scene.opacities))
+        sc_sum = jnp.sum(jnp.abs(scene.scales) * scene.alive[:, None])
+        if gauss_axis is not None:
+            n_alive, op_sum, sc_sum = jax.lax.psum(
+                jnp.stack([n_alive, op_sum, sc_sum]), gauss_axis
+            )
+        n_alive = jnp.maximum(n_alive, 1.0)
+        loss = (
+            loss
+            + optim.opacity_reg * op_sum / n_alive
+            + optim.scale_reg * sc_sum / (3.0 * n_alive)
+        )
+
+    return loss, StepAux(
+        loss=loss, equal_loss=jnp.mean(eqs), pred_hist=hists, target_hist=targets
+    )
+
+
+def make_train_step(
+    settings: RenderSettings,
+    optim: OptimizationParams,
+    tx: optax.GradientTransformation,
+    max_sh_degree: int,
+    sh_anneal_interval: int = 1000,
+) -> Callable:
+    """Build the jitted train step.
+
+    Signature: step(state, cams (B,3), targets (B,num_r), box_points, c,
+                    delta_t, volume_position) -> (state, StepAux)
+    """
+
+    def train_step(state: TrainState, cams, targets, box_points, c, delta_t,
+                   volume_position):
+        grad_fn = jax.value_and_grad(batched_loss_fn, has_aux=True)
+        (_, aux), grads = grad_fn(
+            state.scene,
+            cams,
+            targets,
+            box_points,
+            c,
+            delta_t,
+            volume_position,
+            state.active_sh_degree,
+            settings,
+            optim,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        step = state.step + 1
+        # Intended annealing: +1 SH band every `sh_anneal_interval` iters
+        # (reference main.py:240-241 has the test inverted; we fix it).
+        bump = jnp.logical_and(
+            step % sh_anneal_interval == 0, state.active_sh_degree < max_sh_degree
+        )
+        active = state.active_sh_degree + bump.astype(jnp.int32)
+        return (
+            TrainState(
+                scene=scene, opt_state=opt_state, step=step, active_sh_degree=active
+            ),
+            aux,
+        )
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def create_train_state(
+    scene: GaussianScene, tx: optax.GradientTransformation
+) -> TrainState:
+    return TrainState(
+        scene=scene,
+        opt_state=tx.init(scene),
+        step=jnp.asarray(1, jnp.int32),
+        active_sh_degree=jnp.asarray(0, jnp.int32),
+    )
+
+
+# --- scan-point sampling (reference `cycle_random_pairs`, `main.py:27-36`) ---
+
+
+def scan_point_stream(
+    rng: np.random.Generator, m: int, n: int, batch: int
+) -> Iterator[np.ndarray]:
+    """Yield (batch,) flat scan indices, reshuffling each epoch."""
+    all_idx = np.arange(m * n)
+    buf: list[int] = []
+    while True:
+        rng.shuffle(all_idx)
+        buf.extend(all_idx.tolist())
+        while len(buf) >= batch:
+            out, buf = buf[:batch], buf[batch:]
+            yield np.asarray(out, dtype=np.int32)
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    losses: np.ndarray
+    equal_losses: np.ndarray
+    iters_per_sec: float
+
+
+def prepare_training(
+    cfg: Config,
+    optim: OptimizationParams,
+    data: NLOSData,
+    init_points: Optional[np.ndarray] = None,
+    init_rhos: Optional[np.ndarray] = None,
+    seed: Optional[int] = None,
+):
+    """Create (scene, tx, settings, device arrays) from config + data.
+
+    If init points are not given, uses uniform random-in-volume init with the
+    reference's margin semantics (`init_rand_points`, `gaussian_utils.py:8-32`).
+    Space-carving init lives in `utils/carving.py` and plugs in via
+    init_points/init_rhos.
+    """
+    rng = np.random.default_rng(cfg.rng if seed is None else seed)
+    pmin = data.volume_position - data.volume_size / 2
+    pmax = data.volume_position + data.volume_size / 2
+    if init_points is None:
+        from nlos_gaussian_renderer_tpu.utils.init import init_rand_points
+
+        init_points, init_rhos = init_rand_points(
+            rng, cfg.init_gaussian_num, pmin, pmax, margin=cfg.init_sample_margin
+        )
+    scene = init_scene(
+        init_points,
+        init_rhos,
+        pmin,
+        pmax,
+        max_sh_degree=cfg.sh_degree,
+        capacity=cfg.capacity(optim),
+    )
+    tx = make_optimizer(optim)
+    settings = RenderSettings.from_config(cfg)
+    box_points = gmath.volume_box_points(
+        jnp.asarray(data.volume_position), data.volume_size
+    )
+    return scene, tx, settings, box_points
+
+
+def fit(
+    cfg: Config,
+    optim: OptimizationParams,
+    data: NLOSData,
+    num_iters: Optional[int] = None,
+    init_points: Optional[np.ndarray] = None,
+    init_rhos: Optional[np.ndarray] = None,
+    log_every: Optional[int] = None,
+    callback: Optional[Callable[[int, TrainState, StepAux], None]] = None,
+) -> FitResult:
+    """Run the training loop (reference `train`, `main.py:273-371`).
+
+    The warmup loop (`warmup_learn_func`) performs identical updates to the
+    main loop, so warmup+main is a single loop here.
+    """
+    num_iters = num_iters if num_iters is not None else optim.iterations
+    log_every = log_every if log_every is not None else cfg.print_interval
+    rng = np.random.default_rng(cfg.rng)
+
+    scene, tx, settings, box_points = prepare_training(
+        cfg, optim, data, init_points, init_rhos
+    )
+    state = create_train_state(scene, tx)
+    step_fn = make_train_step(settings, optim, tx, cfg.sh_degree)
+
+    l, m, n = data.shape
+    nlos = jnp.asarray(data.nlos_data.reshape(l, m * n))  # (L, MN)
+    cam_grid = jnp.asarray(data.camera_grid_positions.T)  # (MN, 3)
+    vol_pos = jnp.asarray(data.volume_position)
+
+    @jax.jit
+    def gather_batch(idx):
+        cams = cam_grid[idx]  # (B, 3)
+        # Histogram window [start, end) for each scan point, * gt_times.
+        targets = nlos[cfg.start : cfg.end, :].T[idx] * cfg.gt_times
+        return cams, targets
+
+    stream = scan_point_stream(rng, m, n, cfg.batch_size)
+    losses, eqs = [], []
+    t0 = time.time()
+    for it in range(num_iters):
+        idx = jnp.asarray(next(stream))
+        cams, targets = gather_batch(idx)
+        state, aux = step_fn(
+            state, cams, targets, box_points, data.c, data.deltaT, vol_pos
+        )
+        if (it + 1) % log_every == 0 or it == num_iters - 1:
+            losses.append(float(aux.loss))
+            eqs.append(float(aux.equal_loss))
+        if callback is not None:
+            callback(it, state, aux)
+    jax.block_until_ready(state.scene.means)
+    dt = time.time() - t0
+    return FitResult(
+        state=state,
+        losses=np.asarray(losses),
+        equal_losses=np.asarray(eqs),
+        iters_per_sec=num_iters / max(dt, 1e-9),
+    )

@@ -1,0 +1,232 @@
+"""Scene evaluation and geometry export.
+
+Replaces the reference's `gaussian2volume` (`nlos_helpers.py:40-69`), which
+thresholds density at spherical samples and runs open3d normal estimation +
+Poisson reconstruction. Dependency-light TPU-native equivalents:
+
+  - density evaluation on either the spherical sample set (reference parity)
+    or a regular grid (better for meshing), chunked on device;
+  - surface normals from the *analytic density gradient* (jax.grad of the
+    Gaussian field) instead of open3d's KNN plane fits;
+  - point-cloud and mesh export as PLY (hand-rolled writer, no open3d);
+  - mesh extraction via naive surface nets over the density grid (no
+    dependency on skimage marching_cubes, which is absent in this image).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nlos_gaussian_renderer_tpu.models.scene import GaussianScene
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.render import RenderSettings, gaussian_pdf
+
+
+def eval_density(
+    scene: GaussianScene,
+    points: jax.Array,
+    settings: Optional[RenderSettings] = None,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Aggregate density sum_g pdf_g * opacity_g at arbitrary points.
+
+    Matches the density returned by `estimate_rho_w(out_separately=True)`
+    (`gaussian_model.py:313, 341-344`) in aggregate form.
+    """
+    if settings is None:
+        settings = RenderSettings(num_sampling_points=1, start=0, end=1)
+    op = scene.opacities[:, 0]
+
+    @jax.jit
+    def one_chunk(pts):
+        pdf = gaussian_pdf(scene, pts, settings)
+        return jnp.einsum("an,n->a", pdf, op, precision=jax.lax.Precision.HIGHEST)
+
+    points = jnp.asarray(points)
+    n = points.shape[0]
+    out = []
+    for i in range(0, n, chunk):
+        pts = points[i : i + chunk]
+        pad = chunk - pts.shape[0] if pts.shape[0] < chunk and i > 0 else 0
+        if pad:
+            pts = jnp.pad(pts, ((0, pad), (0, 0)))
+        vals = one_chunk(pts)
+        out.append(np.asarray(vals[: vals.shape[0] - pad] if pad else vals))
+    return np.concatenate(out, axis=0)
+
+
+def density_gradient_normals(
+    scene: GaussianScene, points: jax.Array, chunk: int = 16384
+) -> np.ndarray:
+    """Unit surface normals = -grad(density)/|grad| at the given points."""
+    op = scene.opacities[:, 0]
+    gfeat = scene.quadratic_form()
+
+    def density_at(p):
+        m = gmath.mahalanobis_matmul(gmath.point_monomials(p[None, :]), gfeat)
+        return jnp.sum(jnp.exp(-0.5 * m[0]) * op)
+
+    grad_fn = jax.jit(jax.vmap(jax.grad(density_at)))
+    points = jnp.asarray(points)
+    outs = []
+    for i in range(0, points.shape[0], chunk):
+        g = np.asarray(grad_fn(points[i : i + chunk]))
+        outs.append(g)
+    g = np.concatenate(outs, axis=0)
+    n = -g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    return n.astype(np.float32)
+
+
+def density_grid(
+    scene: GaussianScene,
+    volume_position,
+    volume_size: float,
+    resolution: int = 128,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Density on a regular grid over the hidden volume.
+
+    Returns:
+      (grid (R, R, R) densities, axes (R,) per-axis coordinates offsets).
+    """
+    vol_pos = np.asarray(volume_position, dtype=np.float32)
+    axis = np.linspace(-volume_size / 2, volume_size / 2, resolution).astype(
+        np.float32
+    )
+    pts = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1).reshape(-1, 3)
+    d = eval_density(scene, jnp.asarray(pts + vol_pos))
+    return d.reshape(resolution, resolution, resolution), axis + 0.0
+
+
+def extract_point_cloud(
+    scene: GaussianScene,
+    volume_position,
+    volume_size: float,
+    resolution: int = 96,
+    threshold: Optional[float] = None,
+    with_normals: bool = True,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Density-thresholded point cloud (reference `mode='mesh'` front half:
+    `nlos_helpers.py:50-57`, threshold = mean density)."""
+    grid, axis = density_grid(scene, volume_position, volume_size, resolution)
+    thr = float(grid.mean()) if threshold is None else threshold
+    idx = np.argwhere(grid > thr)
+    pts = np.asarray(volume_position)[None, :] + axis[idx]
+    pts = pts.astype(np.float32)
+    normals = density_gradient_normals(scene, jnp.asarray(pts)) if with_normals else None
+    return pts, normals
+
+
+def surface_nets_mesh(
+    grid: np.ndarray, axis: np.ndarray, origin, threshold: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Naive surface nets: one vertex per surface-crossing cell, quads (as two
+    triangles) across every sign-changing face.
+
+    Args:
+      grid: (R, R, R) scalar field; axis: (R,) coordinates; origin: (3,).
+    Returns:
+      (vertices (V, 3), triangles (T, 3) int32).
+    """
+    occ = grid > threshold
+    r = grid.shape[0]
+    # Cells are dual to voxels: cell (i,j,k) spans voxels [i:i+2, j:j+2, k:k+2].
+    corners = np.zeros((r - 1, r - 1, r - 1, 8), dtype=bool)
+    ci = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corners[..., ci] = occ[
+                    dx : r - 1 + dx, dy : r - 1 + dy, dz : r - 1 + dz
+                ]
+                ci += 1
+    n_in = corners.sum(-1)
+    surface = (n_in > 0) & (n_in < 8)
+    cell_idx = -np.ones((r - 1, r - 1, r - 1), dtype=np.int64)
+    sx, sy, sz = np.nonzero(surface)
+    cell_idx[sx, sy, sz] = np.arange(len(sx))
+    h = axis[1] - axis[0] if len(axis) > 1 else 1.0
+    verts = np.stack(
+        [axis[sx] + 0.5 * h, axis[sy] + 0.5 * h, axis[sz] + 0.5 * h], axis=-1
+    ) + np.asarray(origin)[None, :]
+
+    tris = []
+    # For each axis, faces between voxel pairs that cross the isosurface emit
+    # a quad connecting the 4 surrounding surface cells.
+    for ax in range(3):
+        sl_lo = [slice(0, r - 1)] * 3
+        sl_hi = [slice(0, r - 1)] * 3
+        sl_hi[ax] = slice(1, r)
+        cross = occ[tuple(sl_lo)] != occ[tuple(sl_hi)]  # (edges along ax)
+        ex, ey, ez = np.nonzero(cross)
+        # The 4 cells sharing edge (ex,ey,ez)->(+1 along ax) vary over the two
+        # other axes by -1/0.
+        o1, o2 = [a for a in range(3) if a != ax]
+        quads = []
+        for d1 in (0, -1):
+            for d2 in (0, -1):
+                c = [ex, ey, ez]
+                c = [cc.copy() for cc in c]
+                c[o1] = c[o1] + d1
+                c[o2] = c[o2] + d2
+                valid = (c[0] >= 0) & (c[1] >= 0) & (c[2] >= 0) & \
+                        (c[0] < r - 1) & (c[1] < r - 1) & (c[2] < r - 1)
+                vid = np.full(len(ex), -1, dtype=np.int64)
+                vid[valid] = cell_idx[c[0][valid], c[1][valid], c[2][valid]]
+                quads.append(vid)
+        q = np.stack(quads, axis=-1)  # (E, 4) order: (0,0),(0,-1),(-1,0),(-1,-1)
+        ok = (q >= 0).all(axis=-1)
+        q = q[ok]
+        tris.append(np.stack([q[:, 0], q[:, 1], q[:, 3]], axis=-1))
+        tris.append(np.stack([q[:, 0], q[:, 3], q[:, 2]], axis=-1))
+    if tris:
+        faces = np.concatenate(tris, axis=0).astype(np.int32)
+    else:
+        faces = np.zeros((0, 3), dtype=np.int32)
+    return verts.astype(np.float32), faces
+
+
+def gaussian_to_mesh(
+    scene: GaussianScene,
+    volume_position,
+    volume_size: float,
+    resolution: int = 96,
+    threshold: Optional[float] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Density grid -> surface-nets mesh (reference `gaussian2volume`
+    mode='mesh' tail end, minus the Poisson smoothing)."""
+    grid, axis = density_grid(scene, volume_position, volume_size, resolution)
+    thr = float(grid.mean()) if threshold is None else threshold
+    return surface_nets_mesh(grid, axis, np.asarray(volume_position), thr)
+
+
+def write_ply(
+    path: str,
+    vertices: np.ndarray,
+    faces: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+) -> None:
+    """ASCII PLY writer for point clouds and triangle meshes."""
+    v = np.asarray(vertices, dtype=np.float32)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\ncomment tpu-nlos-gaussians export\n")
+        f.write(f"element vertex {len(v)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if normals is not None:
+            f.write("property float nx\nproperty float ny\nproperty float nz\n")
+        if faces is not None:
+            f.write(f"element face {len(faces)}\n")
+            f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        if normals is not None:
+            rows = np.concatenate([v, np.asarray(normals, np.float32)], axis=-1)
+        else:
+            rows = v
+        for row in rows:
+            f.write(" ".join(f"{x:.6g}" for x in row) + "\n")
+        if faces is not None:
+            for tri in np.asarray(faces):
+                f.write("3 " + " ".join(str(int(i)) for i in tri) + "\n")

@@ -1,0 +1,227 @@
+"""Tests for shell sampling and the dense transient renderer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlos_gaussian_renderer_tpu.models.scene import GaussianScene, init_scene
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.render import (
+    RenderSettings,
+    field_response,
+    mse_loss,
+    render_transient,
+    view_albedo,
+)
+from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+VOL_POS = jnp.array([0.0, 1.0, 0.0])
+VOL_SIZE = 0.6
+C = 1.0
+DT = 0.01
+BOX = gmath.volume_box_points(VOL_POS, VOL_SIZE)
+CAM = jnp.array([0.1, 0.0, -0.05])
+SETTINGS = RenderSettings(num_sampling_points=8, start=60, end=140)
+
+
+def make_scene(n=24, seed=0, sh_degree=2, capacity=None):
+    rng = np.random.default_rng(seed)
+    pts = np.asarray(VOL_POS) + rng.uniform(-0.25, 0.25, size=(n, 3))
+    rho = rng.uniform(0.2, 0.8, size=(n, 1))
+    scene = init_scene(
+        pts.astype(np.float32),
+        rho.astype(np.float32),
+        np.asarray(VOL_POS) - VOL_SIZE / 2,
+        np.asarray(VOL_POS) + VOL_SIZE / 2,
+        max_sh_degree=sh_degree,
+        capacity=capacity,
+        knn_scale_init=False,
+    )
+    # Random anisotropic covariances + varied opacities for stronger tests.
+    k = scene.capacity
+    return GaussianScene(
+        means=scene.means,
+        log_scales=jnp.asarray(rng.uniform(-3.5, -2.0, size=(k, 3)), jnp.float32),
+        quats=jnp.asarray(rng.normal(size=(k, 4)), jnp.float32),
+        logit_opacities=jnp.asarray(rng.normal(size=(k, 1)), jnp.float32),
+        sh_dc=scene.sh_dc,
+        sh_rest=0.1 * jnp.asarray(rng.normal(size=scene.sh_rest.shape), jnp.float32),
+        alive=scene.alive,
+    )
+
+
+class TestShellGrid:
+    def test_points_on_shells(self):
+        g = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        assert g.points.shape == (80, 8, 8, 3)
+        radii = np.linalg.norm(np.asarray(g.points) - np.asarray(CAM), axis=-1)
+        np.testing.assert_allclose(
+            radii, np.broadcast_to(np.asarray(g.r)[:, None, None], radii.shape),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(g.r[0], 60 * C * DT, rtol=1e-6)
+        np.testing.assert_allclose(g.r[-1], 140 * C * DT, rtol=1e-6)
+
+    def test_angular_bounds_cover_volume(self):
+        g = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        rel = gmath.cartesian_to_spherical(BOX - CAM[None])
+        assert float(g.theta_min) == pytest.approx(float(jnp.min(rel[:, 1])), abs=1e-6)
+        assert float(g.phi_max) == pytest.approx(float(jnp.max(rel[:, 2])), abs=1e-6)
+        # dtheta uses /ns (reference semantics, nlos_helpers.py:163-164).
+        assert float(g.dtheta) == pytest.approx(
+            (float(g.theta_max) - float(g.theta_min)) / 8, rel=1e-6
+        )
+
+    def test_jittable(self):
+        f = jax.jit(lambda cam: shell_grid(cam, BOX, 8, 60, 140, C, DT).points)
+        out = f(CAM)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestViewAlbedo:
+    def test_dc_only(self):
+        scene = make_scene(sh_degree=0)
+        rho = view_albedo(scene, CAM, 0)
+        expected = np.clip(gmath.C0 * np.asarray(scene.sh_dc)[:, 0] + 0.5, 0, None)
+        np.testing.assert_allclose(rho, expected, rtol=1e-5)
+
+    def test_degree_annealing_changes_value(self):
+        scene = make_scene(sh_degree=2)
+        r0 = view_albedo(scene, CAM, 0)
+        r2 = view_albedo(scene, CAM, 2)
+        assert not np.allclose(np.asarray(r0), np.asarray(r2))
+
+
+class TestDenseRender:
+    def test_matmul_vs_direct_pdf(self):
+        scene = make_scene()
+        for occ, mode in [(False, "aggregate"), (True, "aggregate"), (True, "per_gaussian")]:
+            s1 = SETTINGS._replace(occlusion=occ, occlusion_mode=mode, pdf_impl="matmul")
+            s2 = s1._replace(pdf_impl="direct")
+            _, h1 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s1)
+            _, h2 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s2)
+            np.testing.assert_allclose(h1, h2, rtol=2e-4, atol=1e-9)
+
+    def test_no_occlusion_additive_in_gaussians(self):
+        # The no-occlusion histogram is linear in the Gaussian population —
+        # the property that makes Gaussian-sharded rendering exact (psum).
+        scene = make_scene(24)
+        half_a = GaussianScene(
+            **{
+                f: (
+                    getattr(scene, f)
+                    if f != "alive"
+                    else scene.alive.at[12:].set(0.0)
+                )
+                for f in (
+                    "means log_scales quats logit_opacities sh_dc sh_rest alive".split()
+                )
+            }
+        )
+        half_b = GaussianScene(
+            **{
+                f: (
+                    getattr(scene, f)
+                    if f != "alive"
+                    else scene.alive.at[:12].set(0.0)
+                )
+                for f in (
+                    "means log_scales quats logit_opacities sh_dc sh_rest alive".split()
+                )
+            }
+        )
+        _, h = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, ha = render_transient(half_a, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, hb = render_transient(half_b, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        np.testing.assert_allclose(np.asarray(ha) + np.asarray(hb), h, rtol=1e-4)
+
+    def test_dead_slots_do_not_contribute(self):
+        scene = make_scene(16, capacity=64)
+        _, h = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        # Same 16 Gaussians without padding.
+        tight = jax.tree.map(lambda x: x[:16], scene)
+        _, h2 = render_transient(tight, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        # Padding changes matmul accumulation order -> f32 rounding noise.
+        np.testing.assert_allclose(h, h2, rtol=5e-5)
+
+    def test_per_gaussian_netf_matches_manual_cumprod(self):
+        # Validate the exp(cumsum(log)) trick against a literal translation of
+        # the reference cumprod math (gaussian_model.py:316-324) in numpy.
+        scene = make_scene(6, sh_degree=0)
+        settings = SETTINGS._replace(
+            occlusion=True, occlusion_mode="per_gaussian", pdf_impl="direct",
+            num_sampling_points=4, start=80, end=120,
+        )
+        g = shell_grid(CAM, BOX, 4, 80, 120, C, DT)
+        pts = g.points.reshape(-1, 3)
+        out = field_response(scene, pts, CAM, C, DT, 0, settings)
+
+        # numpy reference
+        pdf = np.asarray(
+            jnp.exp(
+                -0.5
+                * gmath.mahalanobis_direct(
+                    pts, scene.means, scene.scales, scene.rotations
+                )
+            )
+        )  # (A, N)
+        op = np.asarray(scene.opacities)[:, 0]
+        rho = np.asarray(view_albedo(scene, CAM, 0))
+        num_r, ns2 = 40, 16
+        density = (pdf * op).T.reshape(-1, num_r, ns2)  # (N, Nr, ns2)
+        occl = np.exp(-density * C * DT)
+        padded = np.concatenate(
+            [np.ones((density.shape[0], 1, ns2)), occl + 1e-7], axis=1
+        )
+        trans = np.cumprod(padded, axis=1)[:, :-1, :]
+        expected = (density * trans * rho[:, None, None]).sum(0) * C * DT
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(num_r, ns2), expected, rtol=1e-4, atol=1e-10
+        )
+
+    def test_aggregate_netf_transmittance_dims(self):
+        # Occlusion must only attenuate: histogram <= no-occlusion histogram.
+        scene = make_scene(24)
+        _, h_free = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        s_occ = SETTINGS._replace(occlusion=True, occlusion_mode="aggregate")
+        _, h_occ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s_occ)
+        # aggregate netf multiplies by c*dt too; compare shapes/finiteness and
+        # attenuation of the transmittance-free variant.
+        assert h_occ.shape == h_free.shape
+        assert bool(jnp.all(jnp.isfinite(h_occ)))
+        assert bool(jnp.all(h_occ <= h_free * C * DT + 1e-12))
+
+    def test_gradients_finite_all_modes(self):
+        scene = make_scene(8)
+        target = jnp.ones(SETTINGS.num_bins)
+        for occ, mode, rt in [
+            (False, "aggregate", "netf"),
+            (True, "aggregate", "netf"),
+            (True, "per_gaussian", "netf"),
+            (True, "aggregate", "nlos-neus"),
+            (True, "per_gaussian", "nlos-neus"),
+        ]:
+            s = SETTINGS._replace(occlusion=occ, occlusion_mode=mode, rendering_type=rt)
+
+            def loss_fn(sc):
+                _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 2, s)
+                return mse_loss(h, target)[0]
+
+            grads = jax.grad(loss_fn)(scene)
+            for leaf in jax.tree.leaves(grads):
+                assert bool(jnp.all(jnp.isfinite(leaf))), (occ, mode, rt)
+
+    def test_volume_y2_factor(self):
+        scene = make_scene(8)
+        _, h1 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        s_off = SETTINGS._replace(apply_volume_y2_factor=False)
+        _, h2 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s_off)
+        np.testing.assert_allclose(h1, h2 * float(VOL_POS[1]) ** 2, rtol=1e-6)
+
+    def test_mse_loss(self):
+        pred = jnp.array([1.0, 2.0])
+        tgt = jnp.array([1.0, 4.0])
+        loss, eq = mse_loss(pred, tgt)
+        assert float(loss) == pytest.approx(2.0)
+        assert float(eq) == pytest.approx(2.0 / 8.5)

@@ -1,0 +1,117 @@
+"""Multi-device (8 virtual CPU devices) sharding tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlos_gaussian_renderer_tpu.configs.default import Config, OptimizationParams
+from nlos_gaussian_renderer_tpu.data.synthetic import make_synthetic_dataset
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.render import RenderSettings
+from nlos_gaussian_renderer_tpu.parallel.mesh import make_mesh
+from nlos_gaussian_renderer_tpu.parallel.sharding import (
+    make_sharded_train_step,
+    shard_scene,
+    state_specs,
+)
+from nlos_gaussian_renderer_tpu.train import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    prepare_training,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    data = make_synthetic_dataset(
+        seed=1, scan_m=4, scan_n=4, num_bins=64, num_gt_gaussians=8,
+        num_sampling_points=8,
+    )
+    nz = np.nonzero(data.nlos_data.sum(axis=(1, 2)))[0]
+    cfg = Config(
+        start=int(nz[0]),
+        end=int(nz[-1]) + 1,
+        num_sampling_points=8,
+        sh_degree=1,
+        init_gaussian_num=32,
+        space_carving_init=False,
+        batch_size=4,
+    )
+    optim = OptimizationParams()
+    scene, tx, settings, box = prepare_training(cfg, optim, data)
+    return data, cfg, optim, scene, tx, settings, box
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8
+
+
+class TestShardedStep:
+    def test_matches_single_device(self, setup):
+        data, cfg, optim, scene, tx, settings, box = setup
+        mesh = make_mesh([2, 4], ("scan", "gauss"))
+
+        state0 = create_train_state(scene, tx)
+        single = make_train_step(settings, optim, tx, cfg.sh_degree)
+        sharded = make_sharded_train_step(
+            mesh, settings, optim, tx, cfg.sh_degree, state0
+        )
+
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 16, size=4)
+        cams = jnp.asarray(data.camera_grid_positions.T[idx])
+        targets = jnp.asarray(
+            data.nlos_data.reshape(64, -1)[cfg.start : cfg.end].T[idx] * cfg.gt_times
+        )
+        vol = jnp.asarray(data.volume_position)
+
+        # Fresh copies per step: both step functions donate their state, so
+        # reusing the same underlying buffers across calls is invalid.
+        def fresh_state():
+            return create_train_state(jax.tree.map(jnp.copy, scene), tx)
+
+        s1, a1 = single(fresh_state(), cams, targets, box, data.c, data.deltaT, vol)
+        state_sh = shard_scene(fresh_state(), mesh)
+        s2, a2 = sharded(state_sh, cams, targets, box, data.c, data.deltaT, vol)
+
+        np.testing.assert_allclose(float(a1.loss), float(a2.loss), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.scene.means), np.asarray(s2.scene.means), rtol=1e-3,
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.scene.logit_opacities),
+            np.asarray(s2.scene.logit_opacities),
+            rtol=1e-3, atol=1e-6,
+        )
+
+    def test_multi_step_stability(self, setup):
+        data, cfg, optim, scene, tx, settings, box = setup
+        mesh = make_mesh([4, 2], ("scan", "gauss"))
+        state0 = create_train_state(jax.tree.map(jnp.copy, scene), tx)
+        sharded = make_sharded_train_step(
+            mesh, settings, optim, tx, cfg.sh_degree, state0
+        )
+        state = shard_scene(state0, mesh)
+        rng = np.random.default_rng(1)
+        vol = jnp.asarray(data.volume_position)
+        for _ in range(3):
+            idx = rng.integers(0, 16, size=4)
+            cams = jnp.asarray(data.camera_grid_positions.T[idx])
+            targets = jnp.asarray(
+                data.nlos_data.reshape(64, -1)[cfg.start : cfg.end].T[idx]
+                * cfg.gt_times
+            )
+            state, aux = sharded(state, cams, targets, box, data.c, data.deltaT, vol)
+            assert np.isfinite(float(aux.loss))
+        assert int(state.step) == 4
+
+    def test_state_specs(self, setup):
+        _, _, _, scene, tx, _, _ = setup
+        state = create_train_state(scene, tx)
+        specs = state_specs(state)
+        assert specs.scene.means == jax.sharding.PartitionSpec("gauss", None)
+        assert specs.scene.alive == jax.sharding.PartitionSpec("gauss")
+        assert specs.step == jax.sharding.PartitionSpec()

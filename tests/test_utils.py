@@ -1,0 +1,170 @@
+"""Tests for carving init, checkpointing, and export utilities."""
+
+import numpy as np
+import pytest
+
+from nlos_gaussian_renderer_tpu.configs.default import Config, OptimizationParams
+from nlos_gaussian_renderer_tpu.data.synthetic import make_synthetic_dataset
+from nlos_gaussian_renderer_tpu.models.scene import init_scene
+from nlos_gaussian_renderer_tpu.utils.carving import (
+    carved_init_points,
+    detect_first_bounces,
+    space_carving,
+)
+from nlos_gaussian_renderer_tpu.utils.init import init_rand_points
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_synthetic_dataset(
+        seed=3, scan_m=6, scan_n=6, num_bins=64, num_gt_gaussians=6,
+        num_sampling_points=8,
+    )
+
+
+class TestFirstBounce:
+    def test_simple_rise(self):
+        t = np.zeros((10, 2, 2), np.float32)
+        t[4, 0, 0] = 1.0  # rises at bin 4
+        t[7, 1, 1] = 0.5
+        fb = detect_first_bounces(t, threshold=1e-5)
+        assert fb[0, 0] == 4
+        assert fb[1, 1] == 7
+        assert fb[0, 1] == 0  # all-zero pixel
+
+    def test_threshold_respected(self):
+        t = np.zeros((10, 1, 1), np.float32)
+        t[3, 0, 0] = 1e-6  # below threshold -> skip
+        t[6, 0, 0] = 1.0
+        fb = detect_first_bounces(t, threshold=1e-5)
+        assert fb[0, 0] == 6
+
+    def test_reference_loop_parity(self, data):
+        # Vectorized result equals a literal port of the reference loop
+        # (gaussian_utils.py:38-50).
+        transient = data.nlos_data
+        bins, h, w = transient.shape
+        expected = np.zeros((h, w))
+        for y in range(h):
+            for x in range(w):
+                if np.sum(transient[:, y, x]) != 0:
+                    for b in range(1, bins):
+                        if transient[b, y, x] - transient[b - 1, y, x] > 1e-5:
+                            expected[y, x] = b
+                            break
+        got = detect_first_bounces(transient, threshold=1e-5)
+        np.testing.assert_array_equal(got, expected)
+
+
+class TestSpaceCarving:
+    def test_feasible_region_near_scene(self, data):
+        feasible = space_carving(data, carving_volume_size=16, ratio=0.95)
+        assert feasible.shape[1] == 3
+        # All feasible voxels lie inside the volume box.
+        vmin = data.volume_position - data.volume_size / 2 - 1e-4
+        vmax = data.volume_position + data.volume_size / 2 + 1e-4
+        assert (feasible >= vmin).all() and (feasible <= vmax).all()
+        # Carving should reject a decent part of the volume.
+        assert len(feasible) < 16**3
+
+    def test_carved_init_points(self, data):
+        rng = np.random.default_rng(0)
+        pts, rho = carved_init_points(data, rng, 100, carving_volume_size=16,
+                                      ratio=0.95)
+        assert pts.shape == (100, 3)
+        assert rho.shape == (100, 1)
+        assert np.isfinite(pts).all()
+
+
+class TestRandomInit:
+    def test_margin_bounds(self):
+        rng = np.random.default_rng(0)
+        pmin = np.array([-1.0, 0.5, -1.0])
+        pmax = np.array([1.0, 1.5, 1.0])
+        pts, rho = init_rand_points(rng, 500, pmin, pmax, margin=0.1)
+        lo = pmin + np.abs(pmin * 0.1)
+        hi = pmax - np.abs(pmax * 0.1)
+        assert (pts >= lo - 1e-6).all() and (pts <= hi + 1e-6).all()
+        assert (rho >= 0).all() and (rho <= 0.1).all()
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        import jax
+
+        from nlos_gaussian_renderer_tpu.train import (
+            create_train_state,
+            make_optimizer,
+        )
+        from nlos_gaussian_renderer_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        rng = np.random.default_rng(1)
+        scene = init_scene(
+            rng.uniform(-1, 1, (8, 3)).astype(np.float32),
+            rng.uniform(0, 1, (8, 1)).astype(np.float32),
+            [-1] * 3, [1] * 3, max_sh_degree=1,
+        )
+        tx = make_optimizer(OptimizationParams())
+        state = create_train_state(scene, tx)
+        target = save_checkpoint(str(tmp_path / "ckpt"), state)
+        assert latest_checkpoint(str(tmp_path / "ckpt")) == target
+
+        template = create_train_state(scene, tx)
+        restored = restore_checkpoint(target, template)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestExport:
+    @pytest.fixture(scope="class")
+    def scene(self):
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-0.2, 0.2, (12, 3)).astype(np.float32) + np.array(
+            [0, 1.0, 0], np.float32
+        )
+        return init_scene(
+            pts, rng.uniform(0.3, 0.8, (12, 1)).astype(np.float32),
+            [-0.3, 0.7, -0.3], [0.3, 1.3, 0.3], max_sh_degree=0,
+        )
+
+    def test_density_grid(self, scene):
+        from nlos_gaussian_renderer_tpu.utils.export import density_grid
+
+        grid, axis = density_grid(scene, [0, 1.0, 0], 0.6, resolution=24)
+        assert grid.shape == (24, 24, 24)
+        assert grid.max() > grid.mean() > 0
+
+    def test_point_cloud_and_ply(self, scene, tmp_path):
+        from nlos_gaussian_renderer_tpu.utils.export import (
+            extract_point_cloud,
+            write_ply,
+        )
+
+        pts, normals = extract_point_cloud(scene, [0, 1.0, 0], 0.6, resolution=24)
+        assert len(pts) > 0
+        np.testing.assert_allclose(
+            np.linalg.norm(normals, axis=-1), 1.0, rtol=1e-3
+        )
+        p = str(tmp_path / "cloud.ply")
+        write_ply(p, pts, normals=normals)
+        header = open(p).read(200)
+        assert header.startswith("ply")
+        assert f"element vertex {len(pts)}" in header
+
+    def test_mesh_extraction(self, scene, tmp_path):
+        from nlos_gaussian_renderer_tpu.utils.export import (
+            gaussian_to_mesh,
+            write_ply,
+        )
+
+        verts, faces = gaussian_to_mesh(scene, [0, 1.0, 0], 0.6, resolution=24)
+        assert len(verts) > 0 and len(faces) > 0
+        assert faces.max() < len(verts)
+        p = str(tmp_path / "mesh.ply")
+        write_ply(p, verts, faces=faces)
+        txt = open(p).read()
+        assert f"element face {len(faces)}" in txt

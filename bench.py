@@ -1,0 +1,128 @@
+"""Headline benchmark: transient forward+backward at 100k Gaussians.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms/iter>, "unit": "ms", "vs_baseline": <x faster>}
+
+Baseline: the reference's measured CUDA renderer iteration time of 12 ms on an
+RTX 3090 (cursor_md/README_CUDA_ACCELERATION.md:59 — at 5k Gaussians, 32x32
+angles, 200 time samples; its dense PyTorch path was 450 ms at the same size).
+This benchmark runs the *full* jitted train step (render 200x32x32 shells,
+MSE loss, backward, 6-group Adam update) at 100k Gaussians — 20x the
+reference's population — on one TPU chip. vs_baseline = 12 ms / our ms.
+
+Usage: python bench.py [--gaussians N] [--iters N] [--backend pallas|dense]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "dense"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--k-max", type=int, default=8192)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    from nlos_gaussian_renderer_tpu.configs.default import (
+        Config,
+        OptimizationParams,
+    )
+    from nlos_gaussian_renderer_tpu.data.synthetic import (
+        make_ground_truth_scene,
+        make_scan_grid,
+    )
+    from nlos_gaussian_renderer_tpu.ops import math as gmath
+    from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
+    from nlos_gaussian_renderer_tpu.ops.render import RenderSettings
+    from nlos_gaussian_renderer_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    # Scene + scan geometry mirroring the reference benchmark scenario:
+    # 32x32 angular grid, 200 time samples (bins 100..300), volume at 1 m.
+    rng = np.random.default_rng(0)
+    volume_position = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+    volume_size = 0.6
+    c, delta_t = 1.0, 0.0052  # bins 100..300 cover radii ~0.52..1.56 m
+
+    scene = make_ground_truth_scene(
+        rng, args.gaussians, volume_position, volume_size
+    )
+    box = gmath.volume_box_points(jnp.asarray(volume_position), volume_size)
+    settings = RenderSettings(
+        num_sampling_points=32,
+        start=100,
+        end=300,
+        backend=args.backend,
+        tile_spec=TileSpec(t_theta=8, t_phi=16, t_r=64, k_max=args.k_max),
+    )
+    optim = OptimizationParams()
+    tx = make_optimizer(optim)
+    state = create_train_state(scene, tx)
+    step = make_train_step(settings, optim, tx, max_sh_degree=0)
+
+    # 256^2 scan grid; one (batch of) scan point(s) per iteration like the
+    # reference training loop.
+    cam_grid = jnp.asarray(make_scan_grid(256, 256).T)  # (65536, 3)
+    num_r = settings.num_bins
+    targets = jnp.asarray(
+        rng.random((args.batch, num_r)).astype(np.float32)
+    )
+    vol = jnp.asarray(volume_position)
+
+    idx = rng.integers(0, cam_grid.shape[0], size=(args.warmup + args.iters, args.batch))
+
+    log("compiling + warmup ...")
+    t0 = time.time()
+    for i in range(args.warmup):
+        state, aux = step(
+            state, cam_grid[idx[i]], targets, box, c, delta_t, vol
+        )
+    jax.block_until_ready(state.scene.means)
+    log(f"warmup done in {time.time()-t0:.1f}s; loss={float(aux.loss):.6f}")
+
+    t0 = time.time()
+    for i in range(args.warmup, args.warmup + args.iters):
+        state, aux = step(
+            state, cam_grid[idx[i]], targets, box, c, delta_t, vol
+        )
+    jax.block_until_ready(state.scene.means)
+    dt = time.time() - t0
+    ms_per_iter = dt / args.iters * 1000.0 / args.batch
+    assert np.isfinite(float(aux.loss))
+
+    baseline_ms = 12.0  # reference CUDA renderer, 5k Gaussians, RTX 3090
+    result = {
+        "metric": (
+            f"transient fwd+bwd ms/iter at {args.gaussians//1000}k Gaussians, "
+            "256^2 scan grid (32x32 angles x 200 bins/point)"
+        ),
+        "value": round(ms_per_iter, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms_per_iter, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

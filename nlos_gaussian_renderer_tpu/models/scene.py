@@ -144,7 +144,18 @@ def init_scene(
     k = (max_sh_degree + 1) ** 2
 
     if knn_scale_init:
-        dist2 = jnp.clip(_mean_knn_dist2(points), min=1e-7)  # (n,)
+        if n > 4096:
+            # Large populations: grid-accelerated native KNN (csrc/).
+            import numpy as _np
+
+            from nlos_gaussian_renderer_tpu import native
+
+            dist2 = jnp.asarray(
+                native.knn_mean_dist2(_np.asarray(points), k=3)
+            )
+        else:
+            dist2 = _mean_knn_dist2(points)
+        dist2 = jnp.clip(dist2, min=1e-7)  # (n,)
     else:
         # Box heuristic fallback (reference `gaussian_model.py:205-208`).
         pmin_x, pmax_x = float(pmin[0]), float(pmax[0])

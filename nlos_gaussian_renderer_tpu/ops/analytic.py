@@ -1,0 +1,200 @@
+"""Closed-form (erf) section integration of Gaussians along shell rays.
+
+Analytic counterpart of the numerical shell sampling, after "Don't Splat your
+Gaussians" (Condor et al. 2024) — the technique the reference implements in
+`submodules/cuda_renderer/src/volume_renderer_analytic.cu` /
+`include/analytic_integration.cuh:123-172`.
+
+Math: along a ray x(t) = o + t*w (|w| = 1), a Gaussian's squared Mahalanobis
+is the quadratic  a + b t + c t^2  with
+    u = diag(1/s) R (o - mu),   v = diag(1/s) R w,
+    a = u.u,  b = 2 u.v,  c = v.v  (c >= 1/s_max^2 > 0),
+so the optical-depth integral over [t0, t1] has the closed form
+    tau(t0, t1) = exp(-(a - b^2/(2c)/2)/2) * sqrt(pi/(2c))
+                  * (erf(z(t1)) - erf(z(t0))) / sqrt(2) ... concretely:
+    tau(t0, t1) = E * 0.5 * sqrt(2*pi/c) * (erf(z1) - erf(z0)),
+    E = exp(-0.5*(a - b^2/(4c))),  z(t) = sqrt(c/2) * (t + b/(2c)).
+
+Two deliberate fixes vs the reference CUDA kernel:
+  1. **Real time binning**: the erf CDF is evaluated at every bin edge, so
+     each section deposits exactly its integral into each time bin it spans —
+     the reference put the whole ray integral into the middle bin and
+     broadcast it (`section_renderer.py:169-184`).
+  2. **Consistent normalization**: per-bin values are tau / bin_width, which
+     converges to the numerical renderer's per-sample field as the bin count
+     grows (parity test enforced at <1%); the reference kernel's extra
+     sx*sy*sz factor and sqrt(2)-off erf argument made its analytic output
+     incomparable with its own numerical path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nlos_gaussian_renderer_tpu.models.scene import GaussianScene
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.sampling import ShellGrid
+
+
+def ray_quadratics(scene: GaussianScene, cam, dirs, scaling_modifier=1.0):
+    """Per (ray, gaussian) quadratic coefficients of the Mahalanobis along t.
+
+    Args:
+      cam: (3,) ray origin; dirs: (R, 3) unit directions.
+    Returns:
+      (a (N,), b (R, N), c (R, N)).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    rot = gmath.quat_to_rotmat(scene.rotations)  # (N, 3, 3)
+    inv_s = 1.0 / (scene.scales * scaling_modifier)  # (N, 3)
+    m = inv_s[:, :, None] * rot  # diag(1/s) R, (N, 3, 3)
+    u = jnp.einsum("nij,nj->ni", m, jnp.asarray(cam)[None, :] - scene.means,
+                   precision=hi)  # (N, 3)
+    v = jnp.einsum("nij,rj->rni", m, dirs, precision=hi)  # (R, N, 3)
+    a = jnp.sum(u * u, axis=-1)  # (N,)
+    b = 2.0 * jnp.einsum("rni,ni->rn", v, u, precision=hi)  # (R, N)
+    c = jnp.maximum(jnp.sum(v * v, axis=-1), 1e-12)  # (R, N)
+    return a, b, c
+
+
+def section_bin_integrals(a, b, c, edges):
+    """Per-bin closed-form integrals of exp(-0.5 * (a + b t + c t^2)).
+
+    Args:
+      a: (N,); b, c: (R, N); edges: (K+1,) monotone bin edges (ray param t).
+    Returns:
+      (K, R, N) integrals over [edges_k, edges_{k+1}].
+    """
+    inv2c = 0.5 / c  # (R, N)
+    peak = jnp.exp(-0.5 * jnp.maximum(a[None, :] - b * b * inv2c * 0.5, 0.0))
+    scale = 0.5 * jnp.sqrt(2.0 * jnp.pi / c)  # (R, N)
+    sqrt_half_c = jnp.sqrt(0.5 * c)  # (R, N)
+    shift = b * inv2c  # b / (2c), (R, N)
+    z = sqrt_half_c[None] * (edges[:, None, None] + shift[None])  # (K+1, R, N)
+    cdf = jax.scipy.special.erf(z)
+    return (peak * scale)[None] * (cdf[1:] - cdf[:-1])
+
+
+def bin_edges_from_grid(r: jax.Array) -> jax.Array:
+    """Midpoint bin edges for the shell radius grid (K+1 edges for K bins)."""
+    mid = 0.5 * (r[1:] + r[:-1])
+    first = r[0] - (mid[0] - r[0])
+    last = r[-1] + (r[-1] - mid[-1])
+    return jnp.concatenate([first[None], mid, last[None]])
+
+
+def analytic_field(
+    scene: GaussianScene,
+    grid: ShellGrid,
+    camera_pos,
+    channel_weights: jax.Array,  # (N, C)
+    scaling_modifier: float = 1.0,
+    gauss_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Per-(bin, ray) analytic field averages, (num_r, ns*ns, C).
+
+    value[k, ray, c] = sum_g w[g, c] * tau_g(bin k) / bin_width — the
+    closed-form counterpart of evaluating w-weighted PDFs at the bin's shell
+    radius. Chunked over Gaussians to bound the (K, R, N) intermediate.
+    """
+    ns = grid.theta.shape[0]
+    num_r = grid.r.shape[0]
+    cam = jnp.asarray(camera_pos)
+    # Unit directions (theta, phi) — matches grid.points construction.
+    sin_t = jnp.sin(grid.theta)
+    dirs = jnp.stack(
+        [
+            sin_t[:, None] * jnp.cos(grid.phi)[None, :],
+            sin_t[:, None] * jnp.sin(grid.phi)[None, :],
+            jnp.cos(grid.theta)[:, None] * jnp.ones((1, ns)),
+        ],
+        axis=-1,
+    ).reshape(ns * ns, 3)
+
+    edges = bin_edges_from_grid(grid.r)
+    widths = edges[1:] - edges[:-1]  # (num_r,)
+
+    n = scene.capacity
+    chunk = n if gauss_chunk is None else min(gauss_chunk, n)
+    pad = (-n) % chunk
+    n_chunks = (n + pad) // chunk
+    idx = jnp.arange(n + pad) % n  # wrap; padded entries weighted 0
+    wmask = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)])[:, None]
+    w_chunks = (channel_weights[idx] * wmask).reshape(
+        n_chunks, chunk, channel_weights.shape[-1]
+    )
+    scene_chunks = jax.tree.map(
+        lambda x: x[idx].reshape((n_chunks, chunk) + x.shape[1:]), scene
+    )
+
+    def chunk_field(args):
+        sub, w = args
+        a, b, c = ray_quadratics(sub, cam, dirs, scaling_modifier)
+        taus = section_bin_integrals(a, b, c, edges)  # (K, R, chunk)
+        return jnp.einsum("krn,nc->krc", taus, w,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    parts = jax.lax.map(chunk_field, (scene_chunks, w_chunks))
+    field = jnp.sum(parts, axis=0) / widths[:, None, None]
+    return field
+
+
+def analytic_field_response(
+    scene: GaussianScene,
+    grid: ShellGrid,
+    camera_pos,
+    c_light,
+    delta_t,
+    active_sh_degree,
+    settings,
+    gauss_chunk: Optional[int] = None,
+) -> jax.Array:
+    """Analytic counterpart of `ops.render.field_response` (flattened (A,)).
+
+    Supports no-occlusion and aggregate-occlusion modes (per-sample field is a
+    Gaussian sum). Transmittance uses the same discrete exp(-cumsum) as the
+    numerical path so the two backends are directly comparable.
+    """
+    from nlos_gaussian_renderer_tpu.ops.render import view_albedo
+
+    ns2 = settings.num_sampling_points**2
+    num_r = settings.num_bins
+    op = scene.opacities[:, 0]
+    rho = view_albedo(scene, camera_pos, active_sh_degree)
+
+    if not settings.occlusion:
+        w = (op * rho)[:, None]
+        field = analytic_field(
+            scene, grid, camera_pos, w, settings.scaling_modifier, gauss_chunk
+        )
+        return field[..., 0].reshape(-1)
+
+    if settings.occlusion_mode != "aggregate":
+        raise NotImplementedError(
+            "per_gaussian occlusion uses the dense backend"
+        )
+    cdt = c_light * delta_t
+    w = jnp.stack([op, op * rho], axis=-1)
+    field = analytic_field(
+        scene, grid, camera_pos, w, settings.scaling_modifier, gauss_chunk
+    )
+    density = field[..., 0].reshape(num_r, ns2)
+    rho_density = field[..., 1].reshape(num_r, ns2)
+    cs = jnp.cumsum(density, axis=0) - density
+    if settings.rendering_type == "netf":
+        trans = jnp.exp(-cdt * cs)
+        out = rho_density * trans * cdt
+    elif settings.rendering_type == "nlos-neus":
+        alpha = 1.0 - jnp.exp(-density * cdt)
+        trans = jnp.exp(
+            jnp.cumsum(jnp.log1p(-alpha + 1e-7), axis=0)
+            - jnp.log1p(-alpha + 1e-7)
+        )
+        mean_rho = rho_density / jnp.maximum(density, 1e-12)
+        out = alpha * trans * mean_rho
+    else:
+        raise ValueError(settings.rendering_type)
+    return out.reshape(-1)

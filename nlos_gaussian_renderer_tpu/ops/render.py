@@ -69,7 +69,7 @@ class RenderSettings(NamedTuple):
             occlusion_mode=cfg.occlusion_mode,
             scaling_modifier=cfg.scaling_modifier,
             apply_volume_y2_factor=cfg.apply_volume_y2_factor,
-            backend="pallas" if cfg.renderer == "pallas" else "dense",
+            backend=cfg.renderer if cfg.renderer in ("pallas", "analytic") else "dense",
         )
 
 
@@ -293,13 +293,28 @@ def render_transient(
         c,
         delta_t,
     )
-    if settings.backend == "pallas" and (
-        not settings.occlusion or settings.occlusion_mode == "aggregate"
-    ):
+    aggregate_ok = not settings.occlusion or settings.occlusion_mode == "aggregate"
+    if settings.backend == "pallas" and aggregate_ok:
         out = field_response_pallas(
             scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
             gauss_axis=gauss_axis,
         )
+    elif settings.backend == "analytic" and aggregate_ok:
+        from nlos_gaussian_renderer_tpu.ops.analytic import (
+            analytic_field_response,
+        )
+
+        if gauss_axis is not None and settings.occlusion:
+            # Aggregate transmittance needs the psum'd density; wire through
+            # analytic_field's channel outputs before compositing.
+            raise NotImplementedError(
+                "gaussian-sharded analytic occlusion not yet supported"
+            )
+        out = analytic_field_response(
+            scene, grid, camera_pos, c, delta_t, active_sh_degree, settings
+        )
+        if gauss_axis is not None:
+            out = jax.lax.psum(out, gauss_axis)
     else:
         # Sample positions carry no parameter dependence (reference builds
         # them under no_grad, `nlos_helpers.py:311-315`).

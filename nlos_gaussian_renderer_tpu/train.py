@@ -297,6 +297,7 @@ def fit(
 
     stream = scan_point_stream(rng, m, n, cfg.batch_size)
     losses, eqs = [], []
+    densify_key = jax.random.PRNGKey(cfg.rng + 1)
     t0 = time.time()
     for it in range(num_iters):
         idx = jnp.asarray(next(stream))
@@ -304,6 +305,23 @@ def fit(
         state, aux = step_fn(
             state, cams, targets, box_points, data.c, data.deltaT, vol_pos
         )
+        # MCMC densification hook (reference `main.py:243-247`).
+        if optim.mcmc_densification_flag:
+            cur = it + 2  # state.step after the update, avoids device sync
+            if (
+                optim.densify_from_iter < cur < optim.densify_until_iter
+                and cur % optim.densification_interval == 0
+            ):
+                from nlos_gaussian_renderer_tpu.models.densify import densify_step
+
+                densify_key, sub = jax.random.split(densify_key)
+                scene2, opt2 = densify_step(
+                    state.scene, state.opt_state, sub, cap_max=optim.cap_max
+                )
+                state = TrainState(
+                    scene=scene2, opt_state=opt2, step=state.step,
+                    active_sh_degree=state.active_sh_degree,
+                )
         if (it + 1) % log_every == 0 or it == num_iters - 1:
             losses.append(float(aux.loss))
             eqs.append(float(aux.equal_loss))

@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from nlos_gaussian_renderer_tpu.data.zaragoza import NLOSData
@@ -50,7 +48,6 @@ def space_carving(
     ratio: float = 0.99,
     start: int = 0,
     threshold: float = 1e-5,
-    chunk: int = 4096,
 ) -> np.ndarray:
     """Carve the hidden volume; return feasible voxel centers (world space).
 
@@ -74,37 +71,15 @@ def space_carving(
     axis = np.linspace(-vol_size / 2, vol_size / 2, s, dtype=np.float32)
     coords = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1).reshape(-1, 3)
 
-    valid = radii > 0
-    cams_v = cams_shifted[:, valid].T  # (V, 3)
-    radii_v = radii[valid]  # (V,)
-    if cams_v.shape[0] == 0:
+    if not np.any(radii > 0):
         return (coords + vol_pos).astype(np.float32)
 
-    coords_j = jnp.asarray(coords)
+    # Native C++ voter (csrc/nlos_native.cpp) with a NumPy fallback inside.
+    from nlos_gaussian_renderer_tpu import native
 
-    @jax.jit
-    def votes_for(cams_chunk, radii_chunk, mask_chunk):
-        d = jnp.linalg.norm(
-            coords_j[:, None, :] - cams_chunk[None, :, :], axis=-1
-        )  # (S^3, chunk)
-        outside = (d >= radii_chunk[None, :]) & mask_chunk[None, :]
-        return jnp.sum(outside.astype(jnp.int32), axis=1)
-
-    votes = np.zeros(coords.shape[0], dtype=np.int64)
-    v = cams_v.shape[0]
-    for i in range(0, v, chunk):
-        cams_c = cams_v[i : i + chunk]
-        radii_c = radii_v[i : i + chunk]
-        pad = chunk - cams_c.shape[0]
-        mask = np.ones(cams_c.shape[0], dtype=bool)
-        if pad > 0:
-            cams_c = np.pad(cams_c, ((0, pad), (0, 0)))
-            radii_c = np.pad(radii_c, (0, pad))
-            mask = np.pad(mask, (0, pad))
-        votes += np.asarray(
-            votes_for(jnp.asarray(cams_c), jnp.asarray(radii_c), jnp.asarray(mask)),
-            dtype=np.int64,
-        )
+    votes = native.space_carving_votes(
+        coords, cams_shifted.T.astype(np.float32), radii.astype(np.float32)
+    ).astype(np.int64)
 
     vote_threshold = votes.max() * ratio
     feasible = coords[votes > vote_threshold]

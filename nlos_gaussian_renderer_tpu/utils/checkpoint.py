@@ -20,13 +20,22 @@ import orbax.checkpoint as ocp
 from nlos_gaussian_renderer_tpu.train import TrainState
 
 
+def _pack(tree):
+    """Orbax rejects zero-size arrays (e.g. sh_rest at sh_degree=0) — swap
+    them for a 1-element placeholder; `restore_checkpoint` swaps back."""
+    return jax.tree.map(
+        lambda x: np.zeros((1,), np.asarray(x).dtype) if np.asarray(x).size == 0 else x,
+        tree,
+    )
+
+
 def save_checkpoint(path: str, state: TrainState, step: Optional[int] = None) -> str:
     """Save the TrainState under `path/<step>` (like `model/current_iter{N}`)."""
     step = int(state.step) if step is None else step
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         target = os.path.join(path, f"step_{step}")
-        ckptr.save(target, jax.device_get(state))
+        ckptr.save(target, _pack(jax.device_get(state)), force=True)
     return target
 
 
@@ -38,9 +47,16 @@ def restore_checkpoint(target: str, template: TrainState) -> TrainState:
       template: a TrainState with matching structure/shapes (e.g. freshly
         created via `create_train_state`), used as the abstract target.
     """
-    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
+    template = jax.device_get(template)
+    abstract = jax.tree.map(
+        ocp.utils.to_shape_dtype_struct, _pack(template)
+    )
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(target), abstract)
+        restored = ckptr.restore(os.path.abspath(target), abstract)
+    # Swap zero-size placeholders back to the template's empty arrays.
+    return jax.tree.map(
+        lambda t, r: t if np.asarray(t).size == 0 else r, template, restored
+    )
 
 
 def latest_checkpoint(path: str) -> Optional[str]:

@@ -47,16 +47,22 @@ def ray_quadratics(scene: GaussianScene, cam, dirs, scaling_modifier=1.0):
     Returns:
       (a (N,), b (R, N), c (R, N)).
     """
-    hi = jax.lax.Precision.HIGHEST
     rot = gmath.quat_to_rotmat(scene.rotations)  # (N, 3, 3)
     inv_s = 1.0 / (scene.scales * scaling_modifier)  # (N, 3)
     m = inv_s[:, :, None] * rot  # diag(1/s) R, (N, 3, 3)
-    u = jnp.einsum("nij,nj->ni", m, jnp.asarray(cam)[None, :] - scene.means,
-                   precision=hi)  # (N, 3)
-    v = jnp.einsum("nij,rj->rni", m, dirs, precision=hi)  # (R, N, 3)
-    a = jnp.sum(u * u, axis=-1)  # (N,)
-    b = 2.0 * jnp.einsum("rni,ni->rn", v, u, precision=hi)  # (R, N)
-    c = jnp.maximum(jnp.sum(v * v, axis=-1), 1e-12)  # (R, N)
+    # Unrolled contractions — batched tiny einsums pad onto the MXU and are
+    # slow at N ~ 1e5 (see ops/math.gaussian_quadratic_form).
+    diff = jnp.asarray(cam)[None, :] - scene.means  # (N, 3)
+    u = [
+        sum(m[:, i, j] * diff[:, j] for j in range(3)) for i in range(3)
+    ]  # 3 x (N,)
+    v = [
+        sum(m[None, :, i, j] * dirs[:, None, j] for j in range(3))
+        for i in range(3)
+    ]  # 3 x (R, N)
+    a = sum(u[i] * u[i] for i in range(3))  # (N,)
+    b = 2.0 * sum(v[i] * u[i][None, :] for i in range(3))  # (R, N)
+    c = jnp.maximum(sum(v[i] * v[i] for i in range(3)), 1e-12)  # (R, N)
     return a, b, c
 
 

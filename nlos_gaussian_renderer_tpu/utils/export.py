@@ -101,6 +101,36 @@ def density_grid(
     return d.reshape(resolution, resolution, resolution), axis + 0.0
 
 
+def gaussian2volume_spherical(
+    scene: GaussianScene,
+    camera_pos,
+    box_points,
+    num_sampling_points: int,
+    start: int,
+    end: int,
+    c: float,
+    delta_t: float,
+    threshold: Optional[float] = None,
+):
+    """Reference-parity volume query: density at the spherical shell samples
+    of one (center) scan point, thresholded at the mean density
+    (`gaussian2volume`, `nlos_helpers.py:40-57`).
+
+    Returns:
+      (dense_points (K, 3), densities (A,), sample_points (A, 3)).
+    """
+    from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+    grid = shell_grid(
+        jnp.asarray(camera_pos), jnp.asarray(box_points), num_sampling_points,
+        start, end, c, delta_t,
+    )
+    pts = np.asarray(grid.points.reshape(-1, 3))
+    dens = eval_density(scene, jnp.asarray(pts))
+    thr = float(dens.mean()) if threshold is None else threshold
+    return pts[dens > thr], dens, pts
+
+
 def extract_point_cloud(
     scene: GaussianScene,
     volume_position,

@@ -130,7 +130,9 @@ class TestTiling:
         rel = np.asarray(gmath.cartesian_to_spherical(scene.means - CAM))
         idx = np.asarray(tiles.indices)
         counts = np.asarray(tiles.counts)
-        n_rt, n_tt, n_pt = tiles.n_r_t, tiles.n_theta_t, tiles.n_phi_t
+        from nlos_gaussian_renderer_tpu.ops.fused import tile_grid_dims
+
+        n_tt, n_pt, n_rt = tile_grid_dims(8, 80, SPEC)
         theta = np.asarray(grid.theta)
         phi = np.asarray(grid.phi)
         r = np.asarray(grid.r)

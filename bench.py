@@ -32,7 +32,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "dense"])
     ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--k-max", type=int, default=8192)
+    ap.add_argument("--k-max", type=int, default=16384)
+    ap.add_argument("--sigma-min", type=float, default=0.002)
+    ap.add_argument("--sigma-max", type=float, default=0.012)
     args = ap.parse_args()
 
     import jax
@@ -67,6 +69,23 @@ def main():
 
     scene = make_ground_truth_scene(
         rng, args.gaussians, volume_position, volume_size
+    )
+    # Trained-scene scale statistics: converged reconstructions have mm-scale
+    # anisotropic Gaussians (the generator's blob default of 36 mm would make
+    # every Gaussian span most of the angular grid — unrepresentative).
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    scene = _dc.replace(
+        scene,
+        log_scales=_jnp.asarray(
+            rng.uniform(
+                np.log(args.sigma_min), np.log(args.sigma_max),
+                (args.gaussians, 3),
+            ),
+            _jnp.float32,
+        ),
     )
     box = gmath.volume_box_points(jnp.asarray(volume_position), volume_size)
     settings = RenderSettings(

@@ -61,7 +61,7 @@ def dump_args(cfg: Config, optim: OptimizationParams) -> None:
 
 
 def train(cfg: Config, optim: OptimizationParams,
-          num_iters: Optional[int] = None) -> None:
+          num_iters: Optional[int] = None, resume: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -94,6 +94,28 @@ def train(cfg: Config, optim: OptimizationParams,
     timer = StepTimer(window=cfg.print_interval)
     ckpt_dir = os.path.join(cfg.basedir, cfg.expname, cfg.model_save_rel_dir)
 
+    init_state = None
+    if resume:
+        from nlos_gaussian_renderer_tpu.train import (
+            create_train_state,
+            prepare_training,
+        )
+        from nlos_gaussian_renderer_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            restore_checkpoint,
+        )
+
+        target = latest_checkpoint(ckpt_dir)
+        if target is not None:
+            scene, tx, _, _ = prepare_training(
+                cfg.replace(space_carving_init=False), optim, data
+            )
+            template = create_train_state(scene, tx)
+            init_state = restore_checkpoint(target, template)
+            print(f"resuming from {target} (step {int(init_state.step)})")
+        else:
+            print(f"--resume requested but no checkpoint under {ckpt_dir}")
+
     def callback(it, state, aux):
         step = it + 1
         stats = timer.tick()
@@ -118,7 +140,7 @@ def train(cfg: Config, optim: OptimizationParams,
 
     t0 = time.time()
     res = fit(cfg, optim, data, num_iters=num_iters, init_points=init_points,
-              init_rhos=init_rhos, callback=callback)
+              init_rhos=init_rhos, callback=callback, init_state=init_state)
     print(
         f"training complete: {res.iters_per_sec:.1f} it/s, "
         f"final loss {res.losses[-1]:.6f}, wall {time.time()-t0:.1f}s"
@@ -198,6 +220,8 @@ def build_argparser() -> argparse.ArgumentParser:
     ap.add_argument("--occlusion", action="store_true", default=None)
     ap.add_argument("--no-space-carving", action="store_true")
     ap.add_argument("--densify", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume training from the latest checkpoint")
     return ap
 
 
@@ -214,7 +238,7 @@ def main(argv=None) -> None:
     optim = OptimizationParams(mcmc_densification_flag=args.densify)
 
     if args.mode in ("train", "both"):
-        train(cfg, optim, num_iters=args.iters)
+        train(cfg, optim, num_iters=args.iters, resume=args.resume)
     if args.mode in ("eval", "both"):
         evaluation(cfg, optim, load_path=args.load)
 

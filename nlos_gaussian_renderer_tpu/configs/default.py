@@ -116,7 +116,18 @@ class OptimizationParams:
     opacity_lr: float = 0.025
     scaling_lr: float = 0.005
     rotation_lr: float = 0.001
+    # Exposure / depth / dssim fields exist in the reference config
+    # (`configs/default.py:70-75, 90-93`) but are consumed by no code path
+    # there either; kept for config-surface parity.
+    exposure_lr_init: float = 0.01
+    exposure_lr_final: float = 0.001
+    exposure_lr_delay_steps: int = 0
+    exposure_lr_delay_mult: float = 0.0
     percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    depth_l1_weight_init: float = 1.0
+    depth_l1_weight_final: float = 0.01
+    random_background: bool = False
 
     # Densification (MCMC-GS)
     mcmc_densification_flag: bool = False

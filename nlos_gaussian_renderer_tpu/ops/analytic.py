@@ -157,12 +157,15 @@ def analytic_field_response(
     active_sh_degree,
     settings,
     gauss_chunk: Optional[int] = None,
+    gauss_axis: Optional[str] = None,
 ) -> jax.Array:
     """Analytic counterpart of `ops.render.field_response` (flattened (A,)).
 
     Supports no-occlusion and aggregate-occlusion modes (per-sample field is a
     Gaussian sum). Transmittance uses the same discrete exp(-cumsum) as the
-    numerical path so the two backends are directly comparable.
+    numerical path so the two backends are directly comparable. Under
+    `gauss_axis` sharding the per-channel fields are psum'd before
+    compositing, so aggregate occlusion stays exact.
     """
     from nlos_gaussian_renderer_tpu.ops.render import view_albedo
 
@@ -171,12 +174,15 @@ def analytic_field_response(
     op = scene.opacities[:, 0]
     rho = view_albedo(scene, camera_pos, active_sh_degree)
 
+    def gsum(x):
+        return x if gauss_axis is None else jax.lax.psum(x, gauss_axis)
+
     if not settings.occlusion:
         w = (op * rho)[:, None]
         field = analytic_field(
             scene, grid, camera_pos, w, settings.scaling_modifier, gauss_chunk
         )
-        return field[..., 0].reshape(-1)
+        return gsum(field[..., 0].reshape(-1))
 
     if settings.occlusion_mode != "aggregate":
         raise NotImplementedError(
@@ -184,8 +190,10 @@ def analytic_field_response(
         )
     cdt = c_light * delta_t
     w = jnp.stack([op, op * rho], axis=-1)
-    field = analytic_field(
-        scene, grid, camera_pos, w, settings.scaling_modifier, gauss_chunk
+    field = gsum(
+        analytic_field(
+            scene, grid, camera_pos, w, settings.scaling_modifier, gauss_chunk
+        )
     )
     density = field[..., 0].reshape(num_r, ns2)
     rho_density = field[..., 1].reshape(num_r, ns2)

@@ -304,17 +304,10 @@ def render_transient(
             analytic_field_response,
         )
 
-        if gauss_axis is not None and settings.occlusion:
-            # Aggregate transmittance needs the psum'd density; wire through
-            # analytic_field's channel outputs before compositing.
-            raise NotImplementedError(
-                "gaussian-sharded analytic occlusion not yet supported"
-            )
         out = analytic_field_response(
-            scene, grid, camera_pos, c, delta_t, active_sh_degree, settings
+            scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
+            gauss_axis=gauss_axis,
         )
-        if gauss_axis is not None:
-            out = jax.lax.psum(out, gauss_axis)
     else:
         # Sample positions carry no parameter dependence (reference builds
         # them under no_grad, `nlos_helpers.py:311-315`).
@@ -341,6 +334,24 @@ def render_histogram(scene, camera_pos, box_points, c, delta_t, volume_position,
         active_sh_degree, settings,
     )
     return hist
+
+
+def render_histogram_batch(
+    scene, camera_positions, box_points, c, delta_t, volume_position,
+    active_sh_degree, settings: RenderSettings,
+) -> jax.Array:
+    """(B, num_r) histograms for a batch of scan points (vmap over cameras).
+
+    Batched counterpart of the reference's (unfinished) `batch_compute_loss` /
+    `batch_estimate_rho_w_no_occlusion` (`nlos_helpers.py:348-351`,
+    `gaussian_model.py:366-389`).
+    """
+    return jax.vmap(
+        lambda cam: render_histogram(
+            scene, cam, box_points, c, delta_t, volume_position,
+            active_sh_degree, settings,
+        )
+    )(jnp.asarray(camera_positions))
 
 
 def mse_loss(pred_hist, target_hist) -> Tuple[jax.Array, jax.Array]:

@@ -267,11 +267,14 @@ def fit(
     init_rhos: Optional[np.ndarray] = None,
     log_every: Optional[int] = None,
     callback: Optional[Callable[[int, TrainState, StepAux], None]] = None,
+    init_state: Optional[TrainState] = None,
 ) -> FitResult:
     """Run the training loop (reference `train`, `main.py:273-371`).
 
     The warmup loop (`warmup_learn_func`) performs identical updates to the
-    main loop, so warmup+main is a single loop here.
+    main loop, so warmup+main is a single loop here. Pass `init_state` (e.g.
+    a restored checkpoint) to resume training — a capability the reference
+    never wired up (its restore is only reachable from `evaluation()`).
     """
     num_iters = num_iters if num_iters is not None else optim.iterations
     log_every = log_every if log_every is not None else cfg.print_interval
@@ -280,7 +283,7 @@ def fit(
     scene, tx, settings, box_points = prepare_training(
         cfg, optim, data, init_points, init_rhos
     )
-    state = create_train_state(scene, tx)
+    state = init_state if init_state is not None else create_train_state(scene, tx)
     step_fn = make_train_step(settings, optim, tx, cfg.sh_degree)
 
     l, m, n = data.shape

@@ -91,3 +91,29 @@ class TestProfiling:
 
         stats = device_memory_stats()
         assert isinstance(stats, dict)
+
+
+class TestResume:
+    def test_resume_continues_from_checkpoint(self, tmp_path):
+        from nlos_gaussian_renderer_tpu.cli import train
+
+        cfg = Config(
+            datadir=str(tmp_path / "missing.mat"),
+            basedir=str(tmp_path / "logs"),
+            expname="resume",
+            start=100, end=132, num_sampling_points=8, sh_degree=1,
+            init_gaussian_num=16, space_carving_init=False, batch_size=1,
+            save_fig=False, print_interval=100, save_model_interval=1000,
+        )
+        optim = OptimizationParams()
+        train(cfg, optim, num_iters=4)
+        # Second run resumes from the final checkpoint of the first.
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            train(cfg, optim, num_iters=3, resume=True)
+        out = buf.getvalue()
+        assert "resuming from" in out
+        assert "(step 5)" in out

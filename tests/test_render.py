@@ -190,7 +190,8 @@ class TestDenseRender:
         # attenuation of the transmittance-free variant.
         assert h_occ.shape == h_free.shape
         assert bool(jnp.all(jnp.isfinite(h_occ)))
-        assert bool(jnp.all(h_occ <= h_free * C * DT + 1e-12))
+        # Allow f32 rounding slack in the comparison.
+        assert bool(jnp.all(h_occ <= h_free * C * DT * (1 + 1e-4) + 1e-10))
 
     def test_gradients_finite_all_modes(self):
         scene = make_scene(8)
@@ -225,3 +226,25 @@ class TestDenseRender:
         loss, eq = mse_loss(pred, tgt)
         assert float(loss) == pytest.approx(2.0)
         assert float(eq) == pytest.approx(2.0 / 8.5)
+
+
+class TestBatchedRender:
+    def test_batch_matches_loop(self):
+        from nlos_gaussian_renderer_tpu.ops.render import (
+            render_histogram,
+            render_histogram_batch,
+        )
+
+        scene = make_scene(12)
+        cams = jnp.asarray(
+            [[0.1, 0.0, -0.05], [-0.2, 0.0, 0.15], [0.0, 0.0, 0.0]]
+        )
+        batch = render_histogram_batch(
+            scene, cams, BOX, C, DT, VOL_POS, 1, SETTINGS
+        )
+        assert batch.shape == (3, SETTINGS.num_bins)
+        for i in range(3):
+            one = render_histogram(
+                scene, cams[i], BOX, C, DT, VOL_POS, 1, SETTINGS
+            )
+            np.testing.assert_allclose(batch[i], one, rtol=1e-4, atol=1e-7)

@@ -115,3 +115,42 @@ class TestShardedStep:
         assert specs.scene.means == jax.sharding.PartitionSpec("gauss", None)
         assert specs.scene.alive == jax.sharding.PartitionSpec("gauss")
         assert specs.step == jax.sharding.PartitionSpec()
+
+
+class TestShardedBackends:
+    @pytest.mark.parametrize("backend,occ", [
+        ("analytic", False), ("analytic", True), ("pallas", True),
+    ])
+    def test_gauss_sharded_matches_unsharded(self, setup, backend, occ):
+        # Gaussian-sharded rendering must be exact for Gaussian-sum fields.
+        from jax.sharding import PartitionSpec as P
+
+        from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
+        from nlos_gaussian_renderer_tpu.ops.render import render_transient
+
+        data, cfg, optim, scene, tx, settings, box = setup
+        spec = TileSpec(t_theta=4, t_phi=8, t_r=16, k_max=64, a_sub=256,
+                        g_tile=32)
+        s = settings._replace(backend=backend, occlusion=occ, tile_spec=spec)
+        cam = jnp.asarray(data.camera_grid_positions[:, 3])
+        vol = jnp.asarray(data.volume_position)
+
+        _, ref = render_transient(scene, cam, box, data.c, data.deltaT, vol,
+                                  1, s)
+
+        mesh = make_mesh([1, 8], ("scan", "gauss"))
+        specs = jax.tree.map(lambda l: P("gauss", *([None] * (l.ndim - 1))),
+                             scene)
+
+        def fn(sc):
+            _, h = render_transient(sc, cam, box, data.c, data.deltaT, vol, 1,
+                                    s, gauss_axis="gauss")
+            return h
+
+        sharded = jax.jit(
+            jax.shard_map(fn, mesh=mesh, in_specs=(specs,), out_specs=P(),
+                          check_vma=False)
+        )
+        out = sharded(scene)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-3, atol=1e-7)

@@ -38,6 +38,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: cold compiles of the 100k-Gaussian train
+    # step through the remote-compile tunnel take ~25 min; warm runs are
+    # instant.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
     import numpy as np
 

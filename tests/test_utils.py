@@ -168,3 +168,33 @@ class TestExport:
         write_ply(p, verts, faces=faces)
         txt = open(p).read()
         assert f"element face {len(faces)}" in txt
+
+
+class TestSphericalVolumeQuery:
+    def test_reference_parity_query(self):
+        import jax.numpy as jnp
+
+        from nlos_gaussian_renderer_tpu.ops import math as gmath
+        from nlos_gaussian_renderer_tpu.utils.export import (
+            gaussian2volume_spherical,
+        )
+
+        rng = np.random.default_rng(5)
+        vol = np.array([0, 1.0, 0], np.float32)
+        pts = vol + rng.uniform(-0.15, 0.15, (10, 3)).astype(np.float32)
+        scene = init_scene(
+            pts, rng.uniform(0.3, 0.8, (10, 1)).astype(np.float32),
+            vol - 0.3, vol + 0.3, max_sh_degree=0, knn_scale_init=False,
+        )
+        box = gmath.volume_box_points(jnp.asarray(vol), 0.6)
+        dense_pts, dens, sample_pts = gaussian2volume_spherical(
+            scene, jnp.asarray([0.0, 0.0, 0.0]), box,
+            num_sampling_points=8, start=60, end=140, c=1.0, delta_t=0.01,
+        )
+        assert sample_pts.shape == (80 * 64, 3)
+        assert dens.shape == (80 * 64,)
+        assert 0 < len(dense_pts) < len(sample_pts)
+        # Dense points must be closer to the Gaussian cluster on average.
+        d_dense = np.linalg.norm(dense_pts - vol, axis=1).mean()
+        d_all = np.linalg.norm(sample_pts - vol, axis=1).mean()
+        assert d_dense < d_all

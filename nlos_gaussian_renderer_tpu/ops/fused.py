@@ -10,8 +10,8 @@ port of the per-ray-thread CUDA model:
      mask marks which (angular-tile x radial-tile) blocks it can touch
      (replaces the slab-test index lists of `ray_aabb.cu:10-61`).
   2. **Compact**: per tile, the indices of intersecting Gaussians are
-     compacted into a fixed-capacity buffer with a cumsum+scatter (static
-     shapes; overflow reported, not silently wrong).
+     compacted into a fixed-capacity buffer with lax.top_k on the tile mask
+     (static shapes; overflow reported, not silently wrong).
   3. **Fused kernel**: per (tile, sample-block, gaussian-block) the kernel
      computes the Mahalanobis quadratic form as an MXU matmul
      (see `ops/math.py` quadratic-form compilation), applies exp on the VPU,
@@ -68,8 +68,7 @@ def _pdf_tile(x, g):
     return jnp.exp(-0.5 * jnp.maximum(_maha_tile(x, g), 0.0))
 
 
-def _field_fwd_kernel(counts_ref, x_ref, g_ref, w_ref, out_ref, *, precision):
-    del precision  # kernels are pure-VPU now; kept for API stability
+def _field_fwd_kernel(counts_ref, x_ref, g_ref, w_ref, out_ref):
     k = pl.program_id(2)
     t = pl.program_id(0)
 
@@ -88,8 +87,7 @@ def _field_fwd_kernel(counts_ref, x_ref, g_ref, w_ref, out_ref, *, precision):
             out_ref[0, :, c] += jnp.sum(p * w_ref[0, :, c][None, :], axis=1)
 
 
-def _field_bwd_kernel(counts_ref, x_ref, g_ref, w_ref, go_ref, dg_ref, dw_ref,
-                      *, precision):
+def _field_bwd_kernel(counts_ref, x_ref, g_ref, w_ref, go_ref, dg_ref, dw_ref):
     a = pl.program_id(2)
     t = pl.program_id(0)
 
@@ -123,18 +121,6 @@ def _field_bwd_kernel(counts_ref, x_ref, g_ref, w_ref, go_ref, dg_ref, dw_ref,
         )
 
 
-def _tile_counts(shape_t, shape_a, shape_k, a_sub, g_tile):
-    return shape_t, pl.cdiv(shape_a, a_sub), pl.cdiv(shape_k, g_tile)
-
-
-def _resolve_precision(name: str):
-    return {
-        "high": jax.lax.Precision.HIGH,
-        "highest": jax.lax.Precision.HIGHEST,
-        "default": jax.lax.Precision.DEFAULT,
-    }[name]
-
-
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
@@ -148,7 +134,11 @@ def fused_field(
     interpret: Optional[bool] = None,
     precision: str = "highest",
 ) -> jax.Array:
-    """out[t, a, c] = sum_k weights[t,k,c] * exp(-0.5 * max(<x, g>, 0))."""
+    """out[t, a, c] = sum_k weights[t,k,c] * exp(-0.5 * max(<x, g>, 0)).
+
+    `precision` is accepted for API stability; the kernels pin f32-exact
+    HIGHEST on MXU dots and run the thin contractions on the VPU.
+    """
     return _fused_field_fwd_impl(
         xfeat, gfeat, weights, counts, a_sub, g_tile, interpret, precision
     )
@@ -164,10 +154,9 @@ def _fused_field_fwd_impl(xfeat, gfeat, weights, counts, a_sub, g_tile,
     interpret = _interpret_default() if interpret is None else interpret
 
     grid = (t, pl.cdiv(a, a_sub), pl.cdiv(k, g_tile))
+    del precision
     out = pl.pallas_call(
-        functools.partial(
-            _field_fwd_kernel, precision=_resolve_precision(precision)
-        ),
+        _field_fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -209,9 +198,7 @@ def _fused_field_vjp_bwd(a_sub, g_tile, interpret, precision, residuals, go):
     # Grid: accumulate over sample blocks (innermost) for each gaussian block.
     grid = (t, pl.cdiv(k, g_tile_eff), pl.cdiv(a, a_sub_eff))
     dg, dw = pl.pallas_call(
-        functools.partial(
-            _field_bwd_kernel, precision=_resolve_precision(precision)
-        ),
+        _field_bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -263,9 +250,9 @@ class TileSpec(NamedTuple):
     g_tile: int = 256
     sigma_cull: float = 3.0
     margin: float = 1.1  # safety factor on angular footprints
-    # Matmul precision inside the kernel: 'highest' (6-pass f32, exact) or
-    # 'high' (3-pass, ~4e-5 relative — plenty for exp(-0.5 m); default).
-    precision: str = "high"
+    # Reserved: kernel matmul precision (kernels currently pin f32-exact
+    # HIGHEST on the MXU; Mosaic has no HIGH lowering).
+    precision: str = "highest"
 
 
 class CompactTiles(NamedTuple):
@@ -355,15 +342,36 @@ def cull_tiles(
     mask2 = mask.reshape(g, n_tiles)
 
     raw_counts = jnp.sum(mask2.astype(jnp.int32), axis=0)  # (T,)
-    # Compaction via top_k: for a 0/1 key, lax.top_k returns the indices of
-    # the set bits first, in ascending index order (ties broken by position).
-    # ~3x faster than the cumsum+scatter alternative on TPU (XLA scatters
-    # serialize; measured 17.6 ms vs 6.1 ms at 100k x 32 tiles).
-    k_cap = min(spec.k_max, g)
-    _, idx = jax.lax.top_k(mask2.astype(jnp.float32).T, k_cap)  # (T, k_cap)
-    if k_cap < spec.k_max:
-        idx = jnp.pad(idx, ((0, 0), (0, spec.k_max - k_cap)))
-    indices = idx.astype(jnp.int32)
+    # Compaction strategy by problem size (both yield set-bit indices in
+    # ascending order, zero-padded):
+    #  - large G*T: lax.top_k on the 0/1 mask (~3x faster than scatter at
+    #    100k x 32 — XLA scatters serialize: 17.6 ms vs 6.1 ms);
+    #  - small G*T: cumsum+scatter (top_k is a near-full sort when
+    #    k_max ~ G and dominates small-scene steps).
+    if g * n_tiles > 1_000_000:
+        k_cap = min(spec.k_max, g)
+        _, idx = jax.lax.top_k(mask2.astype(jnp.float32).T, k_cap)  # (T, k_cap)
+        if k_cap < spec.k_max:
+            idx = jnp.pad(idx, ((0, 0), (0, spec.k_max - k_cap)))
+        indices = idx.astype(jnp.int32)
+    else:
+        pos = jnp.cumsum(mask2.astype(jnp.int32), axis=0) - 1  # (G, T)
+        valid = mask2 & (pos < spec.k_max)
+        tile_ids = jnp.broadcast_to(
+            jnp.arange(n_tiles)[None, :], (g, n_tiles)
+        )
+        flat_idx = jnp.where(
+            valid, tile_ids * spec.k_max + pos, n_tiles * spec.k_max
+        )
+        gauss_ids = jnp.broadcast_to(
+            jnp.arange(g, dtype=jnp.int32)[:, None], (g, n_tiles)
+        )
+        indices = (
+            jnp.zeros((n_tiles * spec.k_max,), jnp.int32)
+            .at[flat_idx.reshape(-1)]
+            .set(gauss_ids.reshape(-1), mode="drop")
+            .reshape(n_tiles, spec.k_max)
+        )
     counts = jnp.minimum(raw_counts, spec.k_max)
     slot_valid = (
         jnp.arange(spec.k_max)[None, :] < counts[:, None]

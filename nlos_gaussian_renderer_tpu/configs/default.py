@@ -83,6 +83,10 @@ class Config:
     batch_size: int = 1
     # Mesh axis names for shard_map parallelism.
     mesh_axes: Tuple[str, ...] = ("scan", "gauss")
+    # Pallas culling/tiling knobs (None = TileSpec defaults): sample-tile
+    # shape (t_theta, t_phi, t_r) and per-tile Gaussian capacity.
+    cull_tile: Optional[Tuple[int, int, int]] = None
+    cull_k_max: Optional[int] = None
 
     def capacity(self, optim: "OptimizationParams") -> int:
         if self.gaussian_capacity is not None:

@@ -155,6 +155,14 @@ def _fused_field_fwd_impl(xfeat, gfeat, weights, counts, a_sub, g_tile,
 
     grid = (t, pl.cdiv(a, a_sub), pl.cdiv(k, g_tile))
     del precision
+
+    def k_clamped(t_i, a_i, k_i, c_ref):
+        # Pin beyond-count gaussian blocks to the last valid block: Pallas
+        # elides the DMA when consecutive grid steps map to the same block,
+        # so tiles with small counts don't pay fetch time for k_max padding.
+        last = jnp.maximum(c_ref[t_i] - 1, 0) // g_tile
+        return (t_i, jnp.minimum(k_i, last), 0)
+
     out = pl.pallas_call(
         _field_fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -162,8 +170,8 @@ def _fused_field_fwd_impl(xfeat, gfeat, weights, counts, a_sub, g_tile,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, a_sub, FDIM), lambda t, a, k, c_ref: (t, a, 0)),
-                pl.BlockSpec((1, g_tile, FDIM), lambda t, a, k, c_ref: (t, k, 0)),
-                pl.BlockSpec((1, g_tile, c), lambda t, a, k, c_ref: (t, k, 0)),
+                pl.BlockSpec((1, g_tile, FDIM), k_clamped),
+                pl.BlockSpec((1, g_tile, c), k_clamped),
             ],
             out_specs=pl.BlockSpec((1, a_sub, c), lambda t, a, k, c_ref: (t, a, 0)),
         ),
@@ -197,16 +205,28 @@ def _fused_field_vjp_bwd(a_sub, g_tile, interpret, precision, residuals, go):
 
     # Grid: accumulate over sample blocks (innermost) for each gaussian block.
     grid = (t, pl.cdiv(k, g_tile_eff), pl.cdiv(a, a_sub_eff))
+
+    def k_clamped(t_i, k_i, a_i, c_ref):
+        # See forward kernel: skip DMA for beyond-count gaussian blocks.
+        last = jnp.maximum(c_ref[t_i] - 1, 0) // g_tile_eff
+        return (t_i, jnp.minimum(k_i, last), 0)
+
+    def a_pinned(t_i, k_i, a_i, c_ref):
+        # When this gaussian block is entirely padding, pin the sample-block
+        # index so the (larger) x/go fetches are elided across the inner loop.
+        valid = k_i * g_tile_eff < c_ref[t_i]
+        return (t_i, jnp.where(valid, a_i, 0), 0)
+
     dg, dw = pl.pallas_call(
         _field_bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, a_sub_eff, FDIM), lambda t, k, a, c_ref: (t, a, 0)),
-                pl.BlockSpec((1, g_tile_eff, FDIM), lambda t, k, a, c_ref: (t, k, 0)),
-                pl.BlockSpec((1, g_tile_eff, c), lambda t, k, a, c_ref: (t, k, 0)),
-                pl.BlockSpec((1, a_sub_eff, c), lambda t, k, a, c_ref: (t, a, 0)),
+                pl.BlockSpec((1, a_sub_eff, FDIM), a_pinned),
+                pl.BlockSpec((1, g_tile_eff, FDIM), k_clamped),
+                pl.BlockSpec((1, g_tile_eff, c), k_clamped),
+                pl.BlockSpec((1, a_sub_eff, c), a_pinned),
             ],
             out_specs=[
                 pl.BlockSpec(

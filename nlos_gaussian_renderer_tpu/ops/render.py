@@ -60,6 +60,12 @@ class RenderSettings(NamedTuple):
 
     @classmethod
     def from_config(cls, cfg) -> "RenderSettings":
+        tile_spec = TileSpec()
+        if getattr(cfg, "cull_tile", None) is not None:
+            tt, tp, tr = cfg.cull_tile
+            tile_spec = tile_spec._replace(t_theta=tt, t_phi=tp, t_r=tr)
+        if getattr(cfg, "cull_k_max", None) is not None:
+            tile_spec = tile_spec._replace(k_max=cfg.cull_k_max)
         return cls(
             num_sampling_points=cfg.num_sampling_points,
             start=cfg.start,
@@ -70,6 +76,7 @@ class RenderSettings(NamedTuple):
             scaling_modifier=cfg.scaling_modifier,
             apply_volume_y2_factor=cfg.apply_volume_y2_factor,
             backend=cfg.renderer if cfg.renderer in ("pallas", "analytic") else "dense",
+            tile_spec=tile_spec,
         )
 
 

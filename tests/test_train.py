@@ -156,3 +156,18 @@ class TestSynthetic:
         )
         assert back.deltaT == pytest.approx(tiny_data.deltaT)
         assert back.c == pytest.approx(tiny_data.c)
+
+
+class TestBackendTrainingParity:
+    def test_pallas_loss_curve_tracks_dense(self, tiny_data):
+        # BASELINE.json: "loss curve matches CUDA/dense reference". Train the
+        # same init with both backends; curves must track closely.
+        cfg_d = tiny_config(tiny_data, batch_size=1)
+        cfg_p = tiny_config(
+            tiny_data, batch_size=1, renderer="pallas", gaussian_capacity=32,
+            cull_tile=(4, 8, 16), cull_k_max=64,
+        )
+        optim = OptimizationParams()
+        res_d = fit(cfg_d, optim, tiny_data, num_iters=30, log_every=5)
+        res_p = fit(cfg_p, optim, tiny_data, num_iters=30, log_every=5)
+        np.testing.assert_allclose(res_p.losses, res_d.losses, rtol=0.02)

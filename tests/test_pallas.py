@@ -205,3 +205,37 @@ class TestPallasRenderParity:
             grid.theta, grid.phi, grid.r, spec,
         )
         assert bool(tiles.overflowed)
+
+
+class TestNonDivisibleShapes:
+    def test_ragged_bins_and_rays(self):
+        # num_r=90 not divisible by t_r=16; ns=8 not divisible by t_phi=8? use
+        # t_theta=8 > ns -> single padded tile per angular dim.
+        spec = TileSpec(t_theta=8, t_phi=8, t_r=16, k_max=48, a_sub=128,
+                        g_tile=16)
+        s = RenderSettings(num_sampling_points=8, start=55, end=145,
+                           backend="pallas", tile_spec=spec)
+        d = s._replace(backend="dense")
+        scene = make_scene(24, seed=11)
+        _, hp = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s)
+        _, hd = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, d)
+        np.testing.assert_allclose(hp, hd, rtol=3e-3, atol=1e-9)
+
+    def test_two_channel_vjp_through_render(self):
+        # Aggregate occlusion uses C=2 channels; gradient parity again.
+        spec = SPEC._replace(k_max=96)
+        s = SETTINGS._replace(occlusion=True, tile_spec=spec)
+        d = DENSE._replace(occlusion=True)
+        scene = make_scene(24, seed=12)
+        target = jnp.full((s.num_bins,), 0.05)
+
+        def loss(sc, st):
+            _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        gp = jax.grad(lambda sc: loss(sc, s))(scene)
+        gd = jax.grad(lambda sc: loss(sc, d))(scene)
+        for name in ("means", "log_scales", "logit_opacities"):
+            a, b = np.asarray(getattr(gp, name)), np.asarray(getattr(gd, name))
+            sc_ = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / sc_, b / sc_, atol=5e-3, err_msg=name)

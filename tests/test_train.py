@@ -171,3 +171,65 @@ class TestBackendTrainingParity:
         res_d = fit(cfg_d, optim, tiny_data, num_iters=30, log_every=5)
         res_p = fit(cfg_p, optim, tiny_data, num_iters=30, log_every=5)
         np.testing.assert_allclose(res_p.losses, res_d.losses, rtol=0.02)
+
+
+class TestStanfordLoader:
+    def test_layout_detection_and_conversion(self, tmp_path):
+        import scipy.io as sio
+
+        from nlos_gaussian_renderer_tpu.data.stanford import load_stanford_data
+
+        rng = np.random.default_rng(0)
+        # (M, N, T) layout with T dominant
+        meas = rng.random((16, 16, 512)).astype(np.float32)
+        p = str(tmp_path / "stanford.mat")
+        sio.savemat(p, {"meas": meas})
+        d = load_stanford_data(p, wall_size=2.0, bin_ps=32.0)
+        assert d.shape == (512, 16, 16)
+        np.testing.assert_allclose(
+            d.nlos_data, np.moveaxis(meas, 2, 0), rtol=1e-6
+        )
+        # 32 ps of light travel ~ 9.6 mm
+        assert d.deltaT == pytest.approx(0.0095926, rel=1e-3)
+        assert d.camera_grid_positions.shape == (3, 256)
+        assert d.volume_position[1] == pytest.approx(1.0)
+
+    def test_downsample_and_crop(self, tmp_path):
+        import scipy.io as sio
+
+        from nlos_gaussian_renderer_tpu.data.stanford import load_stanford_data
+
+        meas = np.ones((600, 8, 8), np.float32)  # (T, M, N) layout
+        p = str(tmp_path / "s2.mat")
+        sio.savemat(p, {"rect_data": meas})
+        d = load_stanford_data(p, downsample_t=4, crop_t=100)
+        assert d.shape == (100, 8, 8)
+        np.testing.assert_allclose(d.nlos_data, 4.0)
+        assert d.deltaT == pytest.approx(4 * 32e-12 * 2.99792458e8, rel=1e-6)
+
+    def test_trains_end_to_end(self, tmp_path):
+        import scipy.io as sio
+
+        from nlos_gaussian_renderer_tpu.data.stanford import load_stanford_data
+
+        # Make a plausible capture by rendering our synthetic scene into the
+        # Stanford layout, then train briefly from the loaded form.
+        base = make_synthetic_dataset(
+            seed=9, scan_m=4, scan_n=4, num_bins=64, num_gt_gaussians=6,
+            num_sampling_points=8,
+        )
+        p = str(tmp_path / "s3.mat")
+        sio.savemat(p, {"meas": np.moveaxis(base.nlos_data, 0, 2)})
+        d = load_stanford_data(
+            p, wall_size=0.8, bin_ps=base.deltaT / 2.99792458e8 * 1e12,
+            volume_distance=1.0, volume_size=0.6,
+        )
+        assert d.deltaT == pytest.approx(base.deltaT, rel=1e-4)
+        nz = np.nonzero(d.nlos_data.sum(axis=(1, 2)))[0]
+        cfg = Config(
+            start=int(nz[0]), end=int(nz[-1]) + 1, num_sampling_points=8,
+            sh_degree=1, init_gaussian_num=16, space_carving_init=False,
+            batch_size=1, save_fig=False,
+        )
+        res = fit(cfg, OptimizationParams(), d, num_iters=5, log_every=1)
+        assert np.all(np.isfinite(res.losses))

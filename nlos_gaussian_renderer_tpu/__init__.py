@@ -14,5 +14,12 @@ Gaussian primitives, with the capabilities of the CUDA/PyTorch reference
 __version__ = "0.1.0"
 
 from nlos_gaussian_renderer_tpu.configs.default import Config, OptimizationParams
+from nlos_gaussian_renderer_tpu.models.scene import GaussianScene, init_scene
 
-__all__ = ["Config", "OptimizationParams", "__version__"]
+__all__ = [
+    "Config",
+    "OptimizationParams",
+    "GaussianScene",
+    "init_scene",
+    "__version__",
+]

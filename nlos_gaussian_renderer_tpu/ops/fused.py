@@ -254,9 +254,47 @@ def _fused_field_vjp_bwd(a_sub, g_tile, interpret, precision, residuals, go):
 fused_field.defvjp(_fused_field_vjp_fwd, _fused_field_vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_rows(table: jax.Array, idx: jax.Array, unique_per_tile: bool = False):
+    """Gather rows `table[idx]` with a tuned scatter-add backward.
+
+    idx: (T, K) row ids. When `unique_per_tile` (true for the top_k compaction
+    path, whose per-tile index lists are permutation prefixes — unique but not
+    globally sorted), the backward runs one unique-indices scatter per tile —
+    faster than the single duplicated scatter XLA emits for plain
+    fancy-indexing (measured 6.7 vs 8.9 ms at (32, 16384) -> (100k, 12)).
+    """
+    return table[idx]
+
+
+def _take_rows_fwd(table, idx, unique_per_tile):
+    return table[idx], (idx, table.shape)
+
+
+def _take_rows_bwd(unique_per_tile, res, g):
+    idx, tshape = res
+    out = jnp.zeros(tshape, g.dtype)
+    if unique_per_tile:
+        for t in range(idx.shape[0]):
+            out = out.at[idx[t]].add(g[t], unique_indices=True)
+    else:
+        out = out.at[idx.reshape(-1)].add(g.reshape((-1,) + g.shape[2:]))
+    return out, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Cull + compact
 # ---------------------------------------------------------------------------
+
+
+def _topk_compaction(g: int, n_tiles: int) -> bool:
+    """Compaction strategy selector (shared by cull_tiles and take_rows: the
+    top_k path yields per-tile-unique index lists; the scatter path pads with
+    zeros, i.e. duplicates)."""
+    return g * n_tiles > 1_000_000
 
 
 class TileSpec(NamedTuple):
@@ -368,7 +406,7 @@ def cull_tiles(
     #    100k x 32 — XLA scatters serialize: 17.6 ms vs 6.1 ms);
     #  - small G*T: cumsum+scatter (top_k is a near-full sort when
     #    k_max ~ G and dominates small-scene steps).
-    if g * n_tiles > 1_000_000:
+    if _topk_compaction(g, n_tiles):
         k_cap = min(spec.k_max, g)
         _, idx = jax.lax.top_k(mask2.astype(jnp.float32).T, k_cap)  # (T, k_cap)
         if k_cap < spec.k_max:
@@ -456,8 +494,14 @@ def fused_gaussian_field(
     num_r, ns = points.shape[0], points.shape[1]
     n_tt, n_pt, n_rt = tile_grid_dims(ns, num_r, spec)
     xfeat = tile_points(points, ns, num_r, spec, n_tt, n_pt, n_rt)
-    g_tiles = gfeat[tiles.indices]  # (T, K, 10) gather (scatter-add on bwd)
-    w_tiles = channel_weights[tiles.indices] * tiles.slot_valid[..., None]
+    # One combined gather (and one combined scatter-add on the backward) for
+    # the quadratic forms and channel weights; narrow separate gathers were
+    # ~2x the cost in XLA (see take_rows).
+    unique = _topk_compaction(gfeat.shape[0], n_tt * n_pt * n_rt)
+    gw = jnp.concatenate([gfeat, channel_weights], axis=1)  # (G, 10 + C)
+    gw_tiles = take_rows(gw, tiles.indices, unique)
+    g_tiles = gw_tiles[..., :FDIM]
+    w_tiles = gw_tiles[..., FDIM:] * tiles.slot_valid[..., None]
     out = fused_field(
         xfeat, g_tiles, w_tiles, tiles.counts,
         spec.a_sub, spec.g_tile, interpret, spec.precision,

@@ -154,3 +154,29 @@ class TestShardedBackends:
         out = sharded(scene)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-3, atol=1e-7)
+
+
+class TestShardedPallasTraining:
+    def test_full_sharded_step_with_pallas_backend(self, setup):
+        from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
+
+        data, cfg, optim, scene, tx, settings, box = setup
+        spec = TileSpec(t_theta=4, t_phi=8, t_r=16, k_max=64, a_sub=256,
+                        g_tile=32)
+        s = settings._replace(backend="pallas", tile_spec=spec)
+        mesh = make_mesh([2, 4], ("scan", "gauss"))
+        state0 = create_train_state(jax.tree.map(jnp.copy, scene), tx)
+        step = make_sharded_train_step(mesh, s, optim, tx, cfg.sh_degree,
+                                       state0)
+        state = shard_scene(state0, mesh)
+        idx = np.arange(4)
+        cams = jnp.asarray(data.camera_grid_positions.T[idx])
+        targets = jnp.asarray(
+            data.nlos_data.reshape(64, -1)[cfg.start : cfg.end].T[idx]
+            * cfg.gt_times
+        )
+        state, aux = step(state, cams, targets, box, data.c, data.deltaT,
+                          jnp.asarray(data.volume_position))
+        assert np.isfinite(float(aux.loss))
+        for leaf in jax.tree.leaves(state.scene):
+            assert bool(jnp.all(jnp.isfinite(leaf)))

@@ -150,6 +150,14 @@ class OptimizationParams:
     optimizer_type: str = "default"
     warmup_iter: int = 500
 
+    # SGLD exploration noise on positions (the stochastic term of MCMC-GS;
+    # the reference only gestures at it — "we can conduct Brownian motion!
+    # -> SGLD", main.py:215-217 — and ships without it). Off by default to
+    # match reference behavior.
+    sgld_noise: bool = False
+    noise_lr: float = 5e5
+    sgld_opacity_knee: float = 0.005
+
     nlos_data_random_indexing: bool = True
 
     def replace(self, **kw) -> "OptimizationParams":

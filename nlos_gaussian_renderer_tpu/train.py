@@ -135,6 +135,33 @@ def batched_loss_fn(
     )
 
 
+def sgld_position_noise(
+    scene: GaussianScene, key: jax.Array, lr: jax.Array,
+    optim: OptimizationParams,
+) -> jax.Array:
+    """Covariance-shaped exploration noise for the Gaussian positions.
+
+    The stochastic term of MCMC-GS (Kheradmand et al. 2024): per Gaussian,
+    noise = lr * noise_lr * gate(opacity) * (R S eps), so low-opacity
+    Gaussians random-walk through the volume while confident ones stay put.
+    gate is a sharp reverse sigmoid around the dead-opacity knee.
+    """
+    eps = jax.random.normal(key, scene.means.shape, scene.means.dtype)
+    rot = gmath.quat_to_rotmat(scene.rotations)  # (N, 3, 3)
+    s_eps = scene.scales * eps  # diag(S) eps
+    shaped = jnp.stack(
+        [
+            sum(rot[:, i, j] * s_eps[:, j] for j in range(3))
+            for i in range(3)
+        ],
+        axis=-1,
+    )
+    op = jax.nn.sigmoid(scene.logit_opacities[:, 0])
+    gate = jax.nn.sigmoid(-100.0 * (op - optim.sgld_opacity_knee))
+    scale = lr * optim.noise_lr * gate * scene.alive
+    return shaped * scale[:, None]
+
+
 def make_train_step(
     settings: RenderSettings,
     optim: OptimizationParams,
@@ -147,6 +174,12 @@ def make_train_step(
     Signature: step(state, cams (B,3), targets (B,num_r), box_points, c,
                     delta_t, volume_position) -> (state, StepAux)
     """
+    mu_schedule = expon_lr_schedule(
+        lr_init=optim.position_lr_init,
+        lr_final=optim.position_lr_final,
+        lr_delay_mult=optim.position_lr_delay_mult,
+        max_steps=optim.position_lr_max_steps,
+    )
 
     def train_step(state: TrainState, cams, targets, box_points, c, delta_t,
                    volume_position):
@@ -165,6 +198,13 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
+        if optim.sgld_noise:
+            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            scene = dataclasses.replace(
+                scene,
+                means=scene.means
+                + sgld_position_noise(scene, key, mu_schedule(state.step), optim),
+            )
         step = state.step + 1
         # Intended annealing: +1 SH band every `sh_anneal_interval` iters
         # (reference main.py:240-241 has the test inverted; we fix it).

@@ -233,3 +233,37 @@ class TestStanfordLoader:
         )
         res = fit(cfg, OptimizationParams(), d, num_iters=5, log_every=1)
         assert np.all(np.isfinite(res.losses))
+
+
+class TestSgldNoise:
+    def test_noise_shapes_and_gating(self):
+        import jax
+
+        from nlos_gaussian_renderer_tpu.models.scene import init_scene
+        from nlos_gaussian_renderer_tpu.train import sgld_position_noise
+
+        rng = np.random.default_rng(0)
+        scene = init_scene(
+            rng.uniform(-1, 1, (32, 3)).astype(np.float32),
+            rng.uniform(0.2, 0.8, (32, 1)).astype(np.float32),
+            [-1] * 3, [1] * 3, max_sh_degree=0,
+        )
+        # Half dead-opacity, half confident.
+        lo = scene.logit_opacities.at[:16].set(-10.0).at[16:].set(10.0)
+        import dataclasses
+
+        scene = dataclasses.replace(scene, logit_opacities=lo)
+        optim = OptimizationParams(sgld_noise=True)
+        noise = sgld_position_noise(
+            scene, jax.random.PRNGKey(0), jnp.asarray(1e-4), optim
+        )
+        assert noise.shape == (32, 3)
+        low_mag = float(jnp.abs(noise[:16]).mean())
+        high_mag = float(jnp.abs(noise[16:]).mean())
+        assert low_mag > 100 * max(high_mag, 1e-30)
+
+    def test_training_with_noise_finite(self, tiny_data):
+        cfg = tiny_config(tiny_data, batch_size=1)
+        optim = OptimizationParams(sgld_noise=True, noise_lr=1e3)
+        res = fit(cfg, optim, tiny_data, num_iters=5, log_every=1)
+        assert np.all(np.isfinite(res.losses))

@@ -304,7 +304,7 @@ class TileSpec(NamedTuple):
     t_phi: int = 16
     t_r: int = 64
     k_max: int = 2048  # per-tile Gaussian capacity
-    a_sub: int = 1024
+    a_sub: int = 2048  # sample-block rows per kernel step (swept optimum)
     g_tile: int = 256
     sigma_cull: float = 3.0
     margin: float = 1.1  # safety factor on angular footprints

@@ -55,6 +55,22 @@ def visualize_transient_img(
     return path
 
 
+def save_loss_compare(path, target_hist, pred_hist) -> None:
+    """Write the measured/predicted histogram pair as a .mat
+    (reference `nlos_helpers.py:343-344` wrote this unconditionally every
+    iteration; here it is an explicit utility — call it from a training
+    callback when needed)."""
+    import scipy.io as sio
+
+    sio.savemat(
+        path,
+        {
+            "nlos": np.asarray(target_hist),
+            "pred": np.asarray(pred_hist),
+        },
+    )
+
+
 def save_histogram_figure(
     path: str,
     target_hist: np.ndarray,

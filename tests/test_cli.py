@@ -117,3 +117,16 @@ class TestResume:
         out = buf.getvalue()
         assert "resuming from" in out
         assert "(step 5)" in out
+
+
+class TestLossCompare:
+    def test_mat_dump(self, tmp_path):
+        import scipy.io as sio
+
+        from nlos_gaussian_renderer_tpu.visualize import save_loss_compare
+
+        p = str(tmp_path / "loss_compare.mat")
+        save_loss_compare(p, np.arange(5.0), np.arange(5.0) * 1.1)
+        back = sio.loadmat(p)
+        np.testing.assert_allclose(back["nlos"].ravel(), np.arange(5.0))
+        np.testing.assert_allclose(back["pred"].ravel(), np.arange(5.0) * 1.1)

@@ -180,3 +180,51 @@ class TestShardedPallasTraining:
         assert np.isfinite(float(aux.loss))
         for leaf in jax.tree.leaves(state.scene):
             assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+class TestShardedTrainingConverges:
+    def test_loss_decreases_on_virtual_mesh(self, setup):
+        # A short full training run on the 8-device mesh: loss must drop.
+        data, cfg, optim, scene, tx, settings, box = setup
+        mesh = make_mesh([4, 2], ("scan", "gauss"))
+        state0 = create_train_state(jax.tree.map(jnp.copy, scene), tx)
+        step = make_sharded_train_step(mesh, settings, optim, tx,
+                                       cfg.sh_degree, state0)
+        state = shard_scene(state0, mesh)
+        rng = np.random.default_rng(7)
+        vol = jnp.asarray(data.volume_position)
+
+        from nlos_gaussian_renderer_tpu.ops.render import render_histogram_batch
+
+        val_cams = jnp.asarray(data.camera_grid_positions.T[:8])
+        val_targets = jnp.asarray(
+            data.nlos_data.reshape(64, -1)[cfg.start : cfg.end].T[:8]
+            * cfg.gt_times
+        )
+
+        def val_loss(scene_, deg):
+            pred = render_histogram_batch(
+                scene_, val_cams, box, data.c, data.deltaT, vol, deg, settings
+            )
+            return float(jnp.mean((pred - val_targets) ** 2))
+
+        before = val_loss(scene, 0)
+        for it in range(40):
+            idx = rng.integers(0, 16, size=4)
+            cams = jnp.asarray(data.camera_grid_positions.T[idx])
+            targets = jnp.asarray(
+                data.nlos_data.reshape(64, -1)[cfg.start : cfg.end].T[idx]
+                * cfg.gt_times
+            )
+            state, aux = step(state, cams, targets, box, data.c, data.deltaT,
+                              vol)
+            assert np.isfinite(float(aux.loss))
+        after = val_loss(
+            jax.tree.map(np.asarray, state.scene).__class__(
+                **{k: jnp.asarray(np.asarray(getattr(state.scene, k)))
+                   for k in ("means", "log_scales", "quats", "logit_opacities",
+                             "sh_dc", "sh_rest", "alive")}
+            ),
+            int(state.active_sh_degree),
+        )
+        assert after < before * 0.9, (before, after)

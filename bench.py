@@ -34,7 +34,8 @@ def main():
     ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--backend", default="pallas", choices=["pallas", "dense"])
+    ap.add_argument("--backend", default="pallas",
+                    choices=["pallas", "pallas_rsort", "dense"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--k-max", type=int, default=16384)
     ap.add_argument("--sigma-min", type=float, default=0.002)

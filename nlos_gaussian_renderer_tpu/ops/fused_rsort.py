@@ -1,0 +1,420 @@
+"""Distance-sorted range-culled fused renderer (pallas backend v2, 'rsort').
+
+The (theta, phi, r)-tile culling of `ops/fused.py` pays for radial selectivity
+with a top_k over (n_tiles x G) and coarse 64-bin radial tiles. This variant
+exploits a structural fact: a Gaussian's radial footprint is an *interval*
+[d - rho, d + rho] around its camera distance d. Sorting each angular tile's
+Gaussian list by d makes the set relevant to any radial chunk a CONTIGUOUS
+RANGE, found with two searchsorted calls — so the radial granularity can be
+8 bins instead of 64 (≈5x fewer kernel pairs) at near-zero culling cost:
+
+  1. angular cull: mask (G, T_ang) with T_ang ~ 8 (top_k over 4x fewer rows);
+  2. per angular tile: sort its compacted list by d (padding sorts to +inf);
+  3. per radial chunk j: block range [start_block, start_block + n_blocks)
+     via searchsorted on the sorted distances with the tile's conservative
+     max footprint radius;
+  4. forward kernel grid (ang tile, chunk, block-in-range): Gaussian blocks
+     are selected by scalar-prefetched start offsets — range-based
+     block-sparsity with no per-chunk index lists at all;
+  5. backward kernel grid (ang tile, block, chunk-in-span): each Gaussian
+     block participates in a contiguous chunk span [j_lo, j_hi]; gradients
+     accumulate into the sorted layout and scatter back through `take_rows`.
+
+Block-rounding of ranges only ever ADDS sub-cutoff Gaussians (their pdf at
+the chunk's samples is below the sigma_cull tail) — never drops one, so the
+result is a (slightly more accurate) superset of the tile path's sum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.fused import (
+    FDIM,
+    _interpret_default,
+    _maha_tile,
+    take_rows,
+    tile_grid_dims,
+    tile_points,
+    untile_field,
+)
+
+
+class RSortSpec(NamedTuple):
+    """Static configuration of the rsort renderer."""
+
+    t_theta: int = 8
+    t_phi: int = 16
+    t_chunk: int = 8  # radial bins per chunk
+    k_ang: int = 32768  # per-angular-tile Gaussian capacity
+    g_tile: int = 256
+    kb_max: int = 32  # max Gaussian blocks per chunk range (fwd grid cap)
+    j_span: int = 16  # max chunk span per Gaussian block (bwd grid cap)
+    sigma_cull: float = 3.0
+    margin: float = 1.1
+
+
+class RSortTiles(NamedTuple):
+    sorted_ids: jax.Array  # (T_ang, k_ang) int32, by ascending d (pad: +inf)
+    slot_valid: jax.Array  # (T_ang, k_ang) f32
+    counts: jax.Array  # (T_ang,) int32
+    start_block: jax.Array  # (T_ang, n_chunks) int32
+    n_blocks: jax.Array  # (T_ang, n_chunks) int32
+    j_lo: jax.Array  # (T_ang, KB) int32
+    j_span_len: jax.Array  # (T_ang, KB) int32
+    overflowed: jax.Array  # () bool
+
+
+def rsort_cull(
+    means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
+    scaling_modifier: float = 1.0,
+) -> RSortTiles:
+    ns = theta.shape[0]
+    num_r = r.shape[0]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    n_ch = pl.cdiv(num_r, spec.t_chunk)
+    t_ang = n_tt * n_pt
+    g = means.shape[0]
+
+    rel = means - jnp.asarray(cam)[None, :]
+    sph = gmath.cartesian_to_spherical(rel)
+    d = jnp.maximum(sph[:, 0], 1e-9)
+    radius = (
+        spec.sigma_cull * scaling_modifier * jnp.max(scales, axis=-1) * spec.margin
+    )
+    radius = jnp.where(alive > 0.5, radius, -1.0)
+
+    alpha = jnp.arcsin(jnp.clip(radius / d, -1.0, 1.0))
+    th_lo, th_hi = sph[:, 1] - alpha, sph[:, 1] + alpha
+    sin_min = jnp.maximum(
+        jnp.minimum(
+            jnp.sin(jnp.clip(th_lo, 0.0, jnp.pi)),
+            jnp.sin(jnp.clip(th_hi, 0.0, jnp.pi)),
+        ),
+        1e-3,
+    )
+    dphi = jnp.arcsin(jnp.clip(radius / (d * sin_min), -1.0, 1.0))
+    ph_lo, ph_hi = sph[:, 2] - dphi, sph[:, 2] + dphi
+
+    def overlap(lo, hi, axis_vals, tile_size, n_tiles):
+        pad = n_tiles * tile_size - axis_vals.shape[0]
+        av = jnp.concatenate([axis_vals, jnp.full((pad,), axis_vals[-1])])
+        tiles = av.reshape(n_tiles, tile_size)
+        t_lo = jnp.minimum(tiles[:, 0], tiles[:, -1])
+        t_hi = jnp.maximum(tiles[:, 0], tiles[:, -1])
+        return (lo[:, None] <= t_hi[None, :]) & (hi[:, None] >= t_lo[None, :])
+
+    m_th = overlap(th_lo, th_hi, theta, spec.t_theta, n_tt)
+    m_ph = overlap(ph_lo, ph_hi, phi, spec.t_phi, n_pt)
+    in_window = (d - radius <= r[-1]) & (d + radius >= r[0]) & (radius >= 0.0)
+    mask = (
+        m_th[:, :, None] & m_ph[:, None, :] & in_window[:, None, None]
+    ).reshape(g, t_ang)
+
+    raw_counts = jnp.sum(mask.astype(jnp.int32), axis=0)  # (T_ang,)
+    k_cap = min(spec.k_ang, g)
+    _, idx = jax.lax.top_k(mask.astype(jnp.float32).T, k_cap)  # (T_ang, k)
+    if k_cap < spec.k_ang:
+        idx = jnp.pad(idx, ((0, 0), (0, spec.k_ang - k_cap)))
+    counts = jnp.minimum(raw_counts, spec.k_ang)
+    slot = (
+        jnp.arange(spec.k_ang)[None, :] < counts[:, None]
+    )
+
+    # Sort each tile's list by camera distance; padding to the end.
+    d_tile = jnp.where(slot, d[idx], jnp.inf)  # (T_ang, k_ang)
+    order = jnp.argsort(d_tile, axis=1)
+    sorted_ids = jnp.take_along_axis(idx, order, axis=1).astype(jnp.int32)
+    d_sorted = jnp.take_along_axis(d_tile, order, axis=1)
+
+    # Conservative per-tile footprint radius (valid slots only).
+    rho_max = jnp.max(
+        jnp.where(slot, radius[idx], 0.0), axis=1
+    )  # (T_ang,)
+
+    # Radial chunk edges over the padded bin range.
+    dr = r[1] - r[0]
+    pad_bins = n_ch * spec.t_chunk - num_r
+    r_hi_pad = r[-1] + pad_bins * dr
+    chunk_lo = r[0] + jnp.arange(n_ch) * (spec.t_chunk * dr) - 0.5 * dr
+    chunk_hi = chunk_lo + spec.t_chunk * dr
+    chunk_hi = jnp.minimum(chunk_hi, r_hi_pad + 0.5 * dr)
+
+    # Contiguous index ranges per (tile, chunk) in the d-sorted order.
+    lo_q = chunk_lo[None, :] - rho_max[:, None]  # (T_ang, n_ch)
+    hi_q = chunk_hi[None, :] + rho_max[:, None]
+    start = jax.vmap(jnp.searchsorted)(d_sorted, lo_q)  # (T_ang, n_ch)
+    end = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
+        d_sorted, hi_q
+    )
+    start_block = (start // spec.g_tile).astype(jnp.int32)
+    end_block = pl.cdiv(end, spec.g_tile).astype(jnp.int32)
+    n_blocks = jnp.maximum(end_block - start_block, 0)
+
+    # Per Gaussian-block chunk spans for the backward grid.
+    kb_total = spec.k_ang // spec.g_tile
+    blk = jnp.arange(kb_total)
+    # Block kb is used by chunk j iff start_block[j] <= kb < end_block[j].
+    used = (start_block[:, None, :] <= blk[None, :, None]) & (
+        blk[None, :, None] < end_block[:, None, :]
+    )  # (T_ang, KB, n_ch)
+    any_used = jnp.any(used, axis=2)
+    ch_ids = jnp.arange(n_ch)[None, None, :]
+    j_lo = jnp.where(used, ch_ids, n_ch).min(axis=2).astype(jnp.int32)
+    j_hi = jnp.where(used, ch_ids, -1).max(axis=2).astype(jnp.int32)
+    j_lo = jnp.where(any_used, j_lo, 0)
+    span = jnp.where(any_used, j_hi - j_lo + 1, 0).astype(jnp.int32)
+
+    overflow = (
+        jnp.any(raw_counts > spec.k_ang)
+        | jnp.any(n_blocks > spec.kb_max)
+        | jnp.any(span > spec.j_span)
+    )
+    return RSortTiles(
+        sorted_ids=sorted_ids,
+        slot_valid=slot.astype(jnp.float32),
+        counts=counts,
+        start_block=start_block,
+        n_blocks=jnp.minimum(n_blocks, spec.kb_max),
+        j_lo=j_lo,
+        j_span_len=jnp.minimum(span, spec.j_span),
+        overflowed=overflow,
+    )
+
+
+# --- kernels -----------------------------------------------------------------
+
+
+def _rs_fwd_kernel(sb_ref, nb_ref, cnt_ref, x_ref, g_ref, w_ref, out_ref,
+                   *, n_pt, g_tile):
+    t = pl.program_id(0)
+    j = pl.program_id(1)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    in_range = kb < nb_ref[t, j]
+    in_count = (sb_ref[t, j] + kb) * g_tile < cnt_ref[t]
+
+    @pl.when(jnp.logical_and(in_range, in_count))
+    def _():
+        p = jnp.exp(-0.5 * jnp.maximum(_maha_tile(x_ref[0], g_ref[0]), 0.0))
+        for c in range(out_ref.shape[-1]):
+            out_ref[0, :, c] += jnp.sum(p * w_ref[0, :, c][None, :], axis=1)
+
+
+def _rs_bwd_kernel(jlo_ref, jsp_ref, cnt_ref, x_ref, g_ref, w_ref, go_ref,
+                   dg_ref, dw_ref, *, n_pt, g_tile):
+    t = pl.program_id(0)
+    kb = pl.program_id(1)
+    jj = pl.program_id(2)
+
+    @pl.when(jj == 0)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    valid = jnp.logical_and(
+        jj < jsp_ref[t, kb], kb * g_tile < cnt_ref[t]
+    )
+
+    @pl.when(valid)
+    def _():
+        n_c = w_ref.shape[-1]
+        m = _maha_tile(x_ref[0], g_ref[0])
+        p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+        for c in range(n_c):
+            dw_ref[0, :, c] += jnp.sum(p * go_ref[0, :, c][:, None], axis=0)
+        wg = go_ref[0, :, 0][:, None] * w_ref[0, :, 0][None, :]
+        for c in range(1, n_c):
+            wg += go_ref[0, :, c][:, None] * w_ref[0, :, c][None, :]
+        dm = jnp.where(m > 0.0, -0.5 * p * wg, 0.0)
+        dg_ref[0] += jax.lax.dot_general(
+            dm, x_ref[0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def rsort_field(
+    xfeat,  # (n_tiles_total, S, 10) from tile_points (r-chunk granularity)
+    gw_sorted,  # (T_ang, k_ang, 10 + C) sorted gathered forms+weights
+    counts,  # (T_ang,)
+    start_block,  # (T_ang, n_ch)
+    n_blocks,  # (T_ang, n_ch)
+    j_lo,  # (T_ang, KB)
+    j_span_len,  # (T_ang, KB)
+    n_channels,  # dummy traced arg holder; unused
+    spec: RSortSpec = RSortSpec(),
+    dims: Tuple[int, int, int] = (4, 2, 25),  # (n_tt, n_pt, n_ch)
+    interpret: Optional[bool] = None,
+):
+    """out (n_tiles_total, S, C) = per-chunk field sums (range-sparse)."""
+    return _rsort_fwd_impl(
+        xfeat, gw_sorted, counts, start_block, n_blocks, spec, dims, interpret
+    )
+
+
+def _tile_id_map(n_tt, n_pt):
+    def f(t, j):
+        tt = t // n_pt
+        ptt = t % n_pt
+        return (j * n_tt + tt) * n_pt + ptt
+
+    return f
+
+
+def _rsort_fwd_impl(xfeat, gw_sorted, counts, start_block, n_blocks, spec,
+                    dims, interpret):
+    n_tt, n_pt, n_ch = dims
+    t_ang = n_tt * n_pt
+    s = xfeat.shape[1]
+    c = gw_sorted.shape[-1] - FDIM
+    interp = _interpret_default() if interpret is None else interpret
+    tid = _tile_id_map(n_tt, n_pt)
+
+    def x_map(t, j, kb, sb, nb, cnt):
+        return (tid(t, j), 0, 0)
+
+    def g_map(t, j, kb, sb, nb, cnt):
+        last = jnp.maximum(nb[t, j] - 1, 0)
+        return (t, sb[t, j] + jnp.minimum(kb, last), 0)
+
+    def out_map(t, j, kb, sb, nb, cnt):
+        return (tid(t, j), 0, 0)
+
+    grid = (t_ang, n_ch, spec.kb_max)
+    out = pl.pallas_call(
+        functools.partial(_rs_fwd_kernel, n_pt=n_pt, g_tile=spec.g_tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, s, FDIM), x_map),
+                pl.BlockSpec((1, spec.g_tile, FDIM), g_map),
+                pl.BlockSpec((1, spec.g_tile, c), g_map),
+            ],
+            out_specs=pl.BlockSpec((1, s, c), out_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct((xfeat.shape[0], s, c), jnp.float32),
+        interpret=interp,
+    )(
+        start_block, n_blocks, counts,
+        xfeat, gw_sorted[..., :FDIM], gw_sorted[..., FDIM:],
+    )
+    return out
+
+
+def _rsort_vjp_fwd(xfeat, gw_sorted, counts, start_block, n_blocks, j_lo,
+                   j_span_len, n_channels, spec, dims, interpret):
+    out = _rsort_fwd_impl(
+        xfeat, gw_sorted, counts, start_block, n_blocks, spec, dims, interpret
+    )
+    return out, (xfeat, gw_sorted, counts, start_block, n_blocks, j_lo,
+                 j_span_len)
+
+
+def _rsort_vjp_bwd(spec, dims, interpret, res, go):
+    xfeat, gw_sorted, counts, start_block, n_blocks, j_lo, j_span_len = res
+    n_tt, n_pt, n_ch = dims
+    t_ang = n_tt * n_pt
+    s = xfeat.shape[1]
+    c = gw_sorted.shape[-1] - FDIM
+    kb_total = spec.k_ang // spec.g_tile
+    interp = _interpret_default() if interpret is None else interpret
+    tid = _tile_id_map(n_pt=n_pt, n_tt=n_tt)
+
+    def j_of(t, kb, jj, jl, jsp, cnt):
+        last = jnp.maximum(jsp[t, kb] - 1, 0)
+        return jl[t, kb] + jnp.minimum(jj, last)
+
+    def x_map(t, kb, jj, jl, jsp, cnt):
+        return (tid(t, j_of(t, kb, jj, jl, jsp, cnt)), 0, 0)
+
+    def g_map(t, kb, jj, jl, jsp, cnt):
+        return (t, kb, 0)
+
+    grid = (t_ang, kb_total, spec.j_span)
+    dg, dw = pl.pallas_call(
+        functools.partial(_rs_bwd_kernel, n_pt=n_pt, g_tile=spec.g_tile),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, s, FDIM), x_map),
+                pl.BlockSpec((1, spec.g_tile, FDIM), g_map),
+                pl.BlockSpec((1, spec.g_tile, c), g_map),
+                pl.BlockSpec((1, s, c), x_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, spec.g_tile, FDIM), g_map),
+                pl.BlockSpec((1, spec.g_tile, c), g_map),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((t_ang, spec.k_ang, FDIM), jnp.float32),
+            jax.ShapeDtypeStruct((t_ang, spec.k_ang, c), jnp.float32),
+        ],
+        interpret=interp,
+    )(j_lo, j_span_len, counts, xfeat, gw_sorted[..., :FDIM],
+      gw_sorted[..., FDIM:], go)
+    dgw = jnp.concatenate([dg, dw], axis=-1)
+    return (None, dgw, None, None, None, None, None, None)
+
+
+rsort_field.defvjp(_rsort_vjp_fwd, _rsort_vjp_bwd)
+
+
+def rsort_gaussian_field(
+    gfeat,  # (G, 10)
+    channel_weights,  # (G, C)
+    points,  # (num_r, ns, ns, 3)
+    tiles: RSortTiles,
+    spec: RSortSpec,
+    interpret: Optional[bool] = None,
+):
+    """Full range-sparse field evaluation: (num_r, ns, ns, C) + overflow."""
+    num_r, ns = points.shape[0], points.shape[1]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    n_ch = pl.cdiv(num_r, spec.t_chunk)
+
+    # Reuse the (r, theta, phi) tiler at chunk granularity.
+    from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
+
+    tp_spec = TileSpec(
+        t_theta=spec.t_theta, t_phi=spec.t_phi, t_r=spec.t_chunk
+    )
+    xfeat = tile_points(points, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
+
+    gw = jnp.concatenate([gfeat, channel_weights], axis=1)
+    gw_sorted = take_rows(gw, tiles.sorted_ids, True)
+    # Zero channel weights on padding slots (sorted to the tail).
+    c = channel_weights.shape[-1]
+    w_mask = (
+        jnp.arange(spec.k_ang)[None, :] < tiles.counts[:, None]
+    ).astype(gw_sorted.dtype)
+    gw_sorted = jnp.concatenate(
+        [gw_sorted[..., :FDIM], gw_sorted[..., FDIM:] * w_mask[..., None]],
+        axis=-1,
+    )
+
+    out = rsort_field(
+        xfeat, gw_sorted, tiles.counts, tiles.start_block, tiles.n_blocks,
+        tiles.j_lo, tiles.j_span_len, None,
+        spec, (n_tt, n_pt, n_ch), interpret,
+    )
+    field = untile_field(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
+    return field, tiles.overflowed

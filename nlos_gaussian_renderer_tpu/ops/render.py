@@ -34,6 +34,11 @@ from nlos_gaussian_renderer_tpu.ops.fused import (
     cull_tiles,
     fused_gaussian_field,
 )
+from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+    RSortSpec,
+    rsort_cull,
+    rsort_gaussian_field,
+)
 from nlos_gaussian_renderer_tpu.ops.sampling import ShellGrid, attenuation_weights, shell_grid
 
 
@@ -50,9 +55,11 @@ class RenderSettings(NamedTuple):
     apply_volume_y2_factor: bool = True
     # 'matmul': quadratic-form MXU path; 'direct': broadcasted-diff reference.
     pdf_impl: str = "matmul"
-    # 'dense': pure-jnp field; 'pallas': fused block-sparse kernel.
+    # 'dense': pure-jnp field; 'pallas': fused tile-sparse kernel;
+    # 'pallas_rsort': distance-sorted range-sparse kernel (fastest at scale).
     backend: str = "dense"
     tile_spec: TileSpec = TileSpec()
+    rsort_spec: RSortSpec = RSortSpec()
 
     @property
     def num_bins(self) -> int:
@@ -75,7 +82,11 @@ class RenderSettings(NamedTuple):
             occlusion_mode=cfg.occlusion_mode,
             scaling_modifier=cfg.scaling_modifier,
             apply_volume_y2_factor=cfg.apply_volume_y2_factor,
-            backend=cfg.renderer if cfg.renderer in ("pallas", "analytic") else "dense",
+            backend=(
+                cfg.renderer
+                if cfg.renderer in ("pallas", "pallas_rsort", "analytic")
+                else "dense"
+            ),
             tile_spec=tile_spec,
         )
 
@@ -230,24 +241,40 @@ def field_response_pallas(
     """
     ns2 = settings.num_sampling_points**2
     num_r = settings.num_bins
-    spec = settings.tile_spec
     op = scene.opacities[:, 0]
     rho = view_albedo(scene, camera_pos, active_sh_degree)
     gfeat = scene.quadratic_form(settings.scaling_modifier)
 
-    tiles = cull_tiles(
-        scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
-        grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
-    )
+    if settings.backend == "pallas_rsort":
+        spec = settings.rsort_spec
+        tiles = rsort_cull(
+            scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
+            grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
+        )
+
+        def run(w):
+            field, _ = rsort_gaussian_field(
+                gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+            )
+            return field
+    else:
+        spec = settings.tile_spec
+        tiles = cull_tiles(
+            scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
+            grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
+        )
+
+        def run(w):
+            field, _ = fused_gaussian_field(
+                gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+            )
+            return field
 
     def gsum(x):
         return x if gauss_axis is None else jax.lax.psum(x, gauss_axis)
 
     if not settings.occlusion:
-        w = (op * rho)[:, None]  # (G, 1)
-        field, _ = fused_gaussian_field(
-            gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
-        )
+        field = run((op * rho)[:, None])
         return gsum(field[..., 0].reshape(-1))
 
     cdt = c * delta_t
@@ -255,10 +282,7 @@ def field_response_pallas(
         raise NotImplementedError(
             "per_gaussian occlusion uses the dense backend"
         )
-    w = jnp.stack([op, op * rho], axis=-1)  # (G, 2)
-    field, _ = fused_gaussian_field(
-        gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
-    )
+    field = run(jnp.stack([op, op * rho], axis=-1))
     both = gsum(field.reshape(num_r, ns2, 2))
     density, rho_density = both[..., 0], both[..., 1]
     if settings.rendering_type == "netf":
@@ -301,7 +325,7 @@ def render_transient(
         delta_t,
     )
     aggregate_ok = not settings.occlusion or settings.occlusion_mode == "aggregate"
-    if settings.backend == "pallas" and aggregate_ok:
+    if settings.backend in ("pallas", "pallas_rsort") and aggregate_ok:
         out = field_response_pallas(
             scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
             gauss_axis=gauss_axis,

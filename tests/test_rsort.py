@@ -1,0 +1,145 @@
+"""Parity + gradient tests for the distance-sorted range-culled backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlos_gaussian_renderer_tpu.models.scene import GaussianScene, init_scene
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec, rsort_cull
+from nlos_gaussian_renderer_tpu.ops.render import (
+    RenderSettings,
+    mse_loss,
+    render_transient,
+)
+from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+VOL_POS = jnp.array([0.0, 1.0, 0.0])
+VOL_SIZE = 0.6
+C, DT = 1.0, 0.01
+BOX = gmath.volume_box_points(VOL_POS, VOL_SIZE)
+CAM = jnp.array([0.05, 0.0, -0.1])
+
+SPEC = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=128, g_tile=32,
+                 kb_max=4, j_span=16)
+SETTINGS = RenderSettings(
+    num_sampling_points=8, start=60, end=140, backend="pallas_rsort",
+    rsort_spec=SPEC,
+)
+DENSE = SETTINGS._replace(backend="dense")
+
+
+def make_scene(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.asarray(VOL_POS) + rng.uniform(-0.25, 0.25, size=(n, 3))
+    scene = init_scene(
+        pts.astype(np.float32),
+        rng.uniform(0.2, 0.8, size=(n, 1)).astype(np.float32),
+        np.asarray(VOL_POS) - VOL_SIZE / 2, np.asarray(VOL_POS) + VOL_SIZE / 2,
+        max_sh_degree=1, knn_scale_init=False,
+    )
+    return GaussianScene(
+        means=scene.means,
+        log_scales=jnp.asarray(rng.uniform(-4.0, -2.5, (n, 3)), jnp.float32),
+        quats=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        logit_opacities=jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
+        sh_dc=scene.sh_dc,
+        sh_rest=0.1 * jnp.asarray(rng.normal(size=scene.sh_rest.shape), jnp.float32),
+        alive=scene.alive,
+    )
+
+
+class TestRSortCull:
+    def test_ranges_cover_relevant_gaussians(self):
+        scene = make_scene(48, seed=1)
+        grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        tiles = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, SPEC,
+        )
+        assert not bool(tiles.overflowed)
+        rel = np.asarray(gmath.cartesian_to_spherical(scene.means - CAM))
+        ids = np.asarray(tiles.sorted_ids)
+        counts = np.asarray(tiles.counts)
+        sb = np.asarray(tiles.start_block)
+        nb = np.asarray(tiles.n_blocks)
+        r = np.asarray(grid.r)
+        theta, phi = np.asarray(grid.theta), np.asarray(grid.phi)
+        n_ch = (80 + SPEC.t_chunk - 1) // SPEC.t_chunk
+        # every gaussian center strictly inside a tile's angular bounds and
+        # the radial window must appear in that tile's list, in the right
+        # block range for its chunk. (Centers in the gap between tile bounds
+        # are covered via footprint overlap and are skipped here.)
+        th_tiles = theta.reshape(-1, SPEC.t_theta)
+        ph_tiles = phi.reshape(-1, SPEC.t_phi)
+        for g in range(48):
+            d, th, ph = rel[g]
+            if not (r[0] <= d <= r[-1]):
+                continue
+            tts = [k for k in range(th_tiles.shape[0])
+                   if th_tiles[k, 0] <= th <= th_tiles[k, -1]]
+            pts = [k for k in range(ph_tiles.shape[0])
+                   if ph_tiles[k, 0] <= ph <= ph_tiles[k, -1]]
+            if not tts or not pts:
+                continue
+            t = tts[0] * ph_tiles.shape[0] + pts[0]
+            j = min(int((d - r[0]) / (SPEC.t_chunk * (r[1] - r[0]))), n_ch - 1)
+            lst = ids[t][: counts[t]]
+            assert g in lst, (g, t)
+            pos = int(np.where(lst == g)[0][0])
+            blk = pos // SPEC.g_tile
+            assert sb[t, j] <= blk < sb[t, j] + nb[t, j], (g, t, j)
+
+    def test_sorted_by_distance(self):
+        scene = make_scene(32, seed=2)
+        grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        tiles = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, SPEC,
+        )
+        d = np.linalg.norm(np.asarray(scene.means) - np.asarray(CAM), axis=1)
+        for t in range(tiles.sorted_ids.shape[0]):
+            n = int(tiles.counts[t])
+            ds = d[np.asarray(tiles.sorted_ids[t][:n])]
+            assert np.all(np.diff(ds) >= -1e-6)
+
+
+class TestRSortParity:
+    @pytest.mark.parametrize("occ", [False, True])
+    def test_histogram_parity(self, occ):
+        scene = make_scene(48, seed=3)
+        s_r = SETTINGS._replace(occlusion=occ)
+        s_d = DENSE._replace(occlusion=occ)
+        _, hr = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_r)
+        _, hd = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_d)
+        np.testing.assert_allclose(hr, hd, rtol=3e-3, atol=1e-9)
+
+    def test_gradient_parity(self):
+        scene = make_scene(32, seed=4)
+        target = jnp.ones(SETTINGS.num_bins) * 0.1
+
+        def loss(sc, st):
+            _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        gr = jax.grad(lambda sc: loss(sc, SETTINGS))(scene)
+        gd = jax.grad(lambda sc: loss(sc, DENSE))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities", "sh_dc"):
+            a, b = np.asarray(getattr(gr, name)), np.asarray(getattr(gd, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
+                                       err_msg=name)
+
+    def test_matches_pallas_tile_backend(self):
+        from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
+
+        scene = make_scene(40, seed=5)
+        s_t = SETTINGS._replace(
+            backend="pallas",
+            tile_spec=TileSpec(t_theta=4, t_phi=8, t_r=16, k_max=64,
+                               a_sub=256, g_tile=32),
+        )
+        _, hr = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
+        _, ht = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_t)
+        np.testing.assert_allclose(hr, ht, rtol=3e-3, atol=1e-9)

@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--gaussians", type=int, default=100_000)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
-    ap.add_argument("--backend", default="pallas",
+    ap.add_argument("--backend", default="pallas_rsort",
                     choices=["pallas", "pallas_rsort", "dense"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--k-max", type=int, default=16384)

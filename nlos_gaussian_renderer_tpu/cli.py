@@ -138,6 +138,29 @@ def train(cfg: Config, optim: OptimizationParams,
                 equal_loss=float(aux.equal_loss),
             )
 
+    if cfg.renderer in ("pallas", "pallas_rsort"):
+        import jax.numpy as jnp
+
+        from nlos_gaussian_renderer_tpu.ops import math as gmath
+        from nlos_gaussian_renderer_tpu.ops.render import (
+            RenderSettings,
+            check_culling_capacity,
+        )
+        from nlos_gaussian_renderer_tpu.train import prepare_training
+
+        scene0, _, settings0, box0 = prepare_training(
+            cfg.replace(space_carving_init=False), optim, data
+        )
+        mid = data.camera_grid_positions.shape[1] // 2
+        diag = check_culling_capacity(
+            scene0, jnp.asarray(data.camera_grid_positions[:, mid]), box0,
+            data.c, data.deltaT, settings0,
+        )
+        if diag.get("overflowed"):
+            print(f"WARNING: culling capacity saturated — raise caps! {diag}")
+        else:
+            print(f"culling capacity ok: {diag}")
+
     t0 = time.time()
     res = fit(cfg, optim, data, num_iters=num_iters, init_points=init_points,
               init_rhos=init_rhos, callback=callback, init_state=init_state)

@@ -53,10 +53,10 @@ class RSortSpec(NamedTuple):
     t_theta: int = 8
     t_phi: int = 16
     t_chunk: int = 8  # radial bins per chunk
-    k_ang: int = 32768  # per-angular-tile Gaussian capacity
+    k_ang: int = 49152  # per-angular-tile Gaussian capacity
     g_tile: int = 256
-    kb_max: int = 32  # max Gaussian blocks per chunk range (fwd grid cap)
-    j_span: int = 16  # max chunk span per Gaussian block (bwd grid cap)
+    kb_max: int = 64  # max Gaussian blocks per chunk range (fwd grid cap)
+    j_span: int = 32  # max chunk span per Gaussian block (bwd grid cap)
     sigma_cull: float = 3.0
     margin: float = 1.1
 
@@ -173,10 +173,11 @@ def rsort_cull(
     j_lo = jnp.where(any_used, j_lo, 0)
     span = jnp.where(any_used, j_hi - j_lo + 1, 0).astype(jnp.int32)
 
+    j_span_cap = min(spec.j_span, n_ch)
     overflow = (
         jnp.any(raw_counts > spec.k_ang)
         | jnp.any(n_blocks > spec.kb_max)
-        | jnp.any(span > spec.j_span)
+        | jnp.any(span > j_span_cap)
     )
     return RSortTiles(
         sorted_ids=sorted_ids,
@@ -185,7 +186,7 @@ def rsort_cull(
         start_block=start_block,
         n_blocks=jnp.minimum(n_blocks, spec.kb_max),
         j_lo=j_lo,
-        j_span_len=jnp.minimum(span, spec.j_span),
+        j_span_len=jnp.minimum(span, j_span_cap),
         overflowed=overflow,
     )
 
@@ -346,7 +347,7 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
     def g_map(t, kb, jj, jl, jsp, cnt):
         return (t, kb, 0)
 
-    grid = (t_ang, kb_total, spec.j_span)
+    grid = (t_ang, kb_total, min(spec.j_span, n_ch))
     dg, dw = pl.pallas_call(
         functools.partial(_rs_bwd_kernel, n_pt=n_pt, g_tile=spec.g_tile),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -143,3 +143,25 @@ class TestRSortParity:
         _, hr = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
         _, ht = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_t)
         np.testing.assert_allclose(hr, ht, rtol=3e-3, atol=1e-9)
+
+
+class TestCullingCapacityDiagnostic:
+    def test_reports_saturation(self):
+        from nlos_gaussian_renderer_tpu.ops.render import check_culling_capacity
+
+        scene = make_scene(48, seed=6)
+        ok = check_culling_capacity(scene, CAM, BOX, C, DT, SETTINGS)
+        assert ok["backend"] == "pallas_rsort"
+        assert not ok["overflowed"]
+        tight = SETTINGS._replace(
+            rsort_spec=SPEC._replace(k_ang=32, kb_max=1, j_span=1)
+        )
+        bad = check_culling_capacity(scene, CAM, BOX, C, DT, tight)
+        assert bad["overflowed"]
+
+    def test_dense_backend_never_overflows(self):
+        from nlos_gaussian_renderer_tpu.ops.render import check_culling_capacity
+
+        scene = make_scene(8, seed=7)
+        d = check_culling_capacity(scene, CAM, BOX, C, DT, DENSE)
+        assert d["overflowed"] is False

@@ -120,13 +120,17 @@ def rsort_cull(
     ).reshape(g, t_ang)
 
     raw_counts = jnp.sum(mask.astype(jnp.int32), axis=0)  # (T_ang,)
-    k_cap = min(spec.k_ang, g)
+    # Effective capacity scales with the population (static): padding the
+    # lists to a fixed large k_ang would make small scenes iterate hundreds
+    # of empty blocks (measured 33 ms vs 10 ms at 5k Gaussians).
+    k_eff = min(spec.k_ang, pl.cdiv(g, spec.g_tile) * spec.g_tile)
+    k_cap = min(k_eff, g)
     _, idx = jax.lax.top_k(mask.astype(jnp.float32).T, k_cap)  # (T_ang, k)
-    if k_cap < spec.k_ang:
-        idx = jnp.pad(idx, ((0, 0), (0, spec.k_ang - k_cap)))
-    counts = jnp.minimum(raw_counts, spec.k_ang)
+    if k_cap < k_eff:
+        idx = jnp.pad(idx, ((0, 0), (0, k_eff - k_cap)))
+    counts = jnp.minimum(raw_counts, k_eff)
     slot = (
-        jnp.arange(spec.k_ang)[None, :] < counts[:, None]
+        jnp.arange(k_eff)[None, :] < counts[:, None]
     )
 
     # Sort each tile's list by camera distance; padding to the end.
@@ -160,7 +164,7 @@ def rsort_cull(
     n_blocks = jnp.maximum(end_block - start_block, 0)
 
     # Per Gaussian-block chunk spans for the backward grid.
-    kb_total = spec.k_ang // spec.g_tile
+    kb_total = k_eff // spec.g_tile
     blk = jnp.arange(kb_total)
     # Block kb is used by chunk j iff start_block[j] <= kb < end_block[j].
     used = (start_block[:, None, :] <= blk[None, :, None]) & (
@@ -175,7 +179,7 @@ def rsort_cull(
 
     j_span_cap = min(spec.j_span, n_ch)
     overflow = (
-        jnp.any(raw_counts > spec.k_ang)
+        jnp.any(raw_counts > k_eff)
         | jnp.any(n_blocks > spec.kb_max)
         | jnp.any(span > j_span_cap)
     )
@@ -296,7 +300,8 @@ def _rsort_fwd_impl(xfeat, gw_sorted, counts, start_block, n_blocks, spec,
     def out_map(t, j, kb, sb, nb, cnt):
         return (tid(t, j), 0, 0)
 
-    grid = (t_ang, n_ch, spec.kb_max)
+    kb_total = gw_sorted.shape[1] // spec.g_tile
+    grid = (t_ang, n_ch, min(spec.kb_max, kb_total))
     out = pl.pallas_call(
         functools.partial(_rs_fwd_kernel, n_pt=n_pt, g_tile=spec.g_tile),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -333,7 +338,7 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
     t_ang = n_tt * n_pt
     s = xfeat.shape[1]
     c = gw_sorted.shape[-1] - FDIM
-    kb_total = spec.k_ang // spec.g_tile
+    kb_total = gw_sorted.shape[1] // spec.g_tile
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_pt=n_pt, n_tt=n_tt)
 
@@ -365,8 +370,8 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((t_ang, spec.k_ang, FDIM), jnp.float32),
-            jax.ShapeDtypeStruct((t_ang, spec.k_ang, c), jnp.float32),
+            jax.ShapeDtypeStruct((t_ang, gw_sorted.shape[1], FDIM), jnp.float32),
+            jax.ShapeDtypeStruct((t_ang, gw_sorted.shape[1], c), jnp.float32),
         ],
         interpret=interp,
     )(j_lo, j_span_len, counts, xfeat, gw_sorted[..., :FDIM],
@@ -405,7 +410,7 @@ def rsort_gaussian_field(
     # Zero channel weights on padding slots (sorted to the tail).
     c = channel_weights.shape[-1]
     w_mask = (
-        jnp.arange(spec.k_ang)[None, :] < tiles.counts[:, None]
+        jnp.arange(gw_sorted.shape[1])[None, :] < tiles.counts[:, None]
     ).astype(gw_sorted.dtype)
     gw_sorted = jnp.concatenate(
         [gw_sorted[..., :FDIM], gw_sorted[..., FDIM:] * w_mask[..., None]],

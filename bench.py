@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--k-max", type=int, default=16384)
     ap.add_argument("--sigma-min", type=float, default=0.002)
+    ap.add_argument("--auto-caps", action="store_true", default=True,
+                    help="fit rsort capacities to the scene before timing")
+    ap.add_argument("--no-auto-caps", dest="auto_caps", action="store_false")
     ap.add_argument("--sigma-max", type=float, default=0.012)
     args = ap.parse_args()
 
@@ -108,6 +111,18 @@ def main():
         backend=args.backend,
         tile_spec=TileSpec(t_theta=8, t_phi=16, t_r=64, k_max=args.k_max),
     )
+    if args.backend == "pallas_rsort" and args.auto_caps:
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import tune_rsort_spec
+
+        probe_cams = np.stack(
+            [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
+        ).astype(np.float32)
+        spec = tune_rsort_spec(
+            scene, probe_cams, box, 32, 100, 300, c, delta_t
+        )
+        log(f"auto-tuned rsort caps: k_ang={spec.k_ang} kb_max={spec.kb_max} "
+            f"j_span={spec.j_span}")
+        settings = settings._replace(rsort_spec=spec)
     optim = OptimizationParams()
     tx = make_optimizer(optim)
     state = create_train_state(scene, tx)

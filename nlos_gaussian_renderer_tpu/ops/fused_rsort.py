@@ -383,6 +383,65 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
 rsort_field.defvjp(_rsort_vjp_fwd, _rsort_vjp_bwd)
 
 
+def tune_rsort_spec(
+    scene,
+    camera_positions,  # (B, 3) representative scan points
+    box_points,
+    num_sampling_points: int,
+    start: int,
+    end: int,
+    c: float,
+    delta_t: float,
+    base: RSortSpec = RSortSpec(),
+    headroom: float = 1.25,
+    scaling_modifier: float = 1.0,
+) -> RSortSpec:
+    """Fit the rsort capacities to a scene by measuring the cull once.
+
+    Runs `rsort_cull` (with generous probe caps) for a few representative
+    cameras and returns a spec whose k_ang / kb_max / j_span cover the
+    observed maxima with `headroom`. Static shapes stay static: call this
+    once before building the train step (capacities change rarely — e.g.
+    after densification milestones).
+    """
+    import numpy as np
+
+    from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+    g = scene.capacity
+    probe = base._replace(
+        k_ang=pl.cdiv(g, base.g_tile) * base.g_tile,
+        kb_max=10**9,
+        j_span=10**9,
+    )
+    max_count = 0
+    max_nb = 1
+    max_span = 1
+    for cam in np.asarray(camera_positions).reshape(-1, 3):
+        grid = shell_grid(
+            jnp.asarray(cam), box_points, num_sampling_points, start, end,
+            c, delta_t,
+        )
+        t = rsort_cull(
+            scene.means, scene.scales, scene.alive, jnp.asarray(cam),
+            grid.theta, grid.phi, grid.r, probe, scaling_modifier,
+        )
+        max_count = max(max_count, int(jnp.max(t.counts)))
+        max_nb = max(max_nb, int(jnp.max(t.n_blocks)))
+        max_span = max(max_span, int(jnp.max(t.j_span_len)))
+
+    k_ang = min(
+        pl.cdiv(int(max_count * headroom), base.g_tile) * base.g_tile,
+        pl.cdiv(g, base.g_tile) * base.g_tile,
+    )
+    k_ang = max(k_ang, base.g_tile)
+    return base._replace(
+        k_ang=k_ang,
+        kb_max=min(int(max_nb * headroom) + 1, k_ang // base.g_tile),
+        j_span=int(max_span * headroom) + 1,
+    )
+
+
 def rsort_gaussian_field(
     gfeat,  # (G, 10)
     channel_weights,  # (G, C)

@@ -165,3 +165,27 @@ class TestCullingCapacityDiagnostic:
         scene = make_scene(8, seed=7)
         d = check_culling_capacity(scene, CAM, BOX, C, DT, DENSE)
         assert d["overflowed"] is False
+
+
+class TestTuneSpec:
+    def test_fitted_caps_cover_and_shrink(self):
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import tune_rsort_spec
+        from nlos_gaussian_renderer_tpu.ops.render import check_culling_capacity
+
+        scene = make_scene(48, seed=8)
+        cams = np.array([[0.05, 0, -0.1], [0.0, 0, 0.0]], np.float32)
+        spec = tune_rsort_spec(
+            scene, cams, BOX, 8, 60, 140, C, DT, base=SPEC
+        )
+        # Covers the scene (no overflow) ...
+        s = SETTINGS._replace(rsort_spec=spec)
+        diag = check_culling_capacity(scene, CAM, BOX, C, DT, s)
+        assert not diag["overflowed"], diag
+        # ... and no larger than the population allows.
+        assert spec.k_ang <= 64  # 48 gaussians -> one 32-block rounds to 64
+        # Render parity still holds with fitted caps.
+        _, hr = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s)
+        _, hd = render_transient(
+            scene, CAM, BOX, C, DT, VOL_POS, 1, DENSE
+        )
+        np.testing.assert_allclose(hr, hd, rtol=3e-3, atol=1e-9)

@@ -152,10 +152,25 @@ def train(cfg: Config, optim: OptimizationParams,
             cfg.replace(space_carving_init=False), optim, data
         )
         mid = data.camera_grid_positions.shape[1] // 2
+        cam_mid = jnp.asarray(data.camera_grid_positions[:, mid])
         diag = check_culling_capacity(
-            scene0, jnp.asarray(data.camera_grid_positions[:, mid]), box0,
-            data.c, data.deltaT, settings0,
+            scene0, cam_mid, box0, data.c, data.deltaT, settings0
         )
+        # Self-heal the tile backend: double the per-tile capacity until the
+        # cull stops saturating (the reported max_count is clamped at k_max,
+        # so iterate rather than trusting it).
+        tries = 0
+        while (
+            diag.get("overflowed") and cfg.renderer == "pallas" and tries < 5
+        ):
+            new_k = 2 * (cfg.cull_k_max or settings0.tile_spec.k_max)
+            print(f"culling capacity saturated ({diag}); raising k_max -> {new_k}")
+            cfg = cfg.replace(cull_k_max=new_k)
+            settings0 = RenderSettings.from_config(cfg)
+            diag = check_culling_capacity(
+                scene0, cam_mid, box0, data.c, data.deltaT, settings0
+            )
+            tries += 1
         if diag.get("overflowed"):
             print(f"WARNING: culling capacity saturated — raise caps! {diag}")
         else:

@@ -130,3 +130,22 @@ class TestLossCompare:
         back = sio.loadmat(p)
         np.testing.assert_allclose(back["nlos"].ravel(), np.arange(5.0))
         np.testing.assert_allclose(back["pred"].ravel(), np.arange(5.0) * 1.1)
+
+
+class TestCullingSelfHeal:
+    def test_tile_kmax_raised_on_overflow(self, tmp_path, capsys):
+        from nlos_gaussian_renderer_tpu.cli import train
+
+        cfg = Config(
+            datadir=str(tmp_path / "missing.mat"),
+            basedir=str(tmp_path / "logs"),
+            expname="heal",
+            start=100, end=132, num_sampling_points=8, sh_degree=0,
+            init_gaussian_num=64, space_carving_init=False, batch_size=1,
+            save_fig=False, renderer="pallas",
+            cull_tile=(4, 8, 16), cull_k_max=8,  # deliberately tiny
+        )
+        train(cfg, OptimizationParams(), num_iters=3)
+        out = capsys.readouterr().out
+        assert "raising k_max" in out
+        assert "culling capacity ok" in out

@@ -138,44 +138,9 @@ def train(cfg: Config, optim: OptimizationParams,
                 equal_loss=float(aux.equal_loss),
             )
 
-    if cfg.renderer in ("pallas", "pallas_rsort"):
-        import jax.numpy as jnp
-
-        from nlos_gaussian_renderer_tpu.ops import math as gmath
-        from nlos_gaussian_renderer_tpu.ops.render import (
-            RenderSettings,
-            check_culling_capacity,
-        )
-        from nlos_gaussian_renderer_tpu.train import prepare_training
-
-        scene0, _, settings0, box0 = prepare_training(
-            cfg.replace(space_carving_init=False), optim, data
-        )
-        mid = data.camera_grid_positions.shape[1] // 2
-        cam_mid = jnp.asarray(data.camera_grid_positions[:, mid])
-        diag = check_culling_capacity(
-            scene0, cam_mid, box0, data.c, data.deltaT, settings0
-        )
-        # Self-heal the tile backend: double the per-tile capacity until the
-        # cull stops saturating (the reported max_count is clamped at k_max,
-        # so iterate rather than trusting it).
-        tries = 0
-        while (
-            diag.get("overflowed") and cfg.renderer == "pallas" and tries < 5
-        ):
-            new_k = 2 * (cfg.cull_k_max or settings0.tile_spec.k_max)
-            print(f"culling capacity saturated ({diag}); raising k_max -> {new_k}")
-            cfg = cfg.replace(cull_k_max=new_k)
-            settings0 = RenderSettings.from_config(cfg)
-            diag = check_culling_capacity(
-                scene0, cam_mid, box0, data.c, data.deltaT, settings0
-            )
-            tries += 1
-        if diag.get("overflowed"):
-            print(f"WARNING: culling capacity saturated — raise caps! {diag}")
-        else:
-            print(f"culling capacity ok: {diag}")
-
+    # Culling-capacity fitting/self-heal happens inside `prepare_training`
+    # (called by `fit`), and `fit` re-tunes on densification growth or any
+    # runtime overflow — no CLI pre-check needed.
     t0 = time.time()
     res = fit(cfg, optim, data, num_iters=num_iters, init_points=init_points,
               init_rhos=init_rhos, callback=callback, init_state=init_state)
@@ -223,15 +188,16 @@ def evaluation(cfg: Config, optim: OptimizationParams,
 
     out_dir = os.path.join(cfg.basedir, cfg.expname)
     os.makedirs(out_dir, exist_ok=True)
+    print(f"evaluating at resolution {cfg.eval_resolution}^3")
     pts, normals = extract_point_cloud(
         state.scene, data.volume_position, data.volume_size,
-        resolution=min(cfg.eval_resolution, 128),
+        resolution=cfg.eval_resolution,
     )
     write_ply(os.path.join(out_dir, "output_point_cloud.ply"), pts,
               normals=normals)
     verts, faces = gaussian_to_mesh(
         state.scene, data.volume_position, data.volume_size,
-        resolution=min(cfg.eval_resolution, 128),
+        resolution=cfg.eval_resolution,
     )
     write_ply(os.path.join(out_dir, "output_mesh.ply"), verts, faces=faces)
     print(

@@ -69,8 +69,10 @@ class Config:
     # load-bearing for the loss scale). Kept behind a named flag.
     apply_volume_y2_factor: bool = True
 
-    # evaluation
-    eval_resolution: int = 256
+    # evaluation: density-grid resolution for point-cloud/mesh export. Used
+    # as requested (no silent clamping); 128^3 is a good quality/time default,
+    # raise to 256 for final exports.
+    eval_resolution: int = 128
 
     # --- TPU-specific ---
     # Fixed Gaussian capacity. Densification grows the population up to this

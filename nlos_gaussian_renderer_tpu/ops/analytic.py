@@ -104,10 +104,17 @@ def analytic_field(
 
     value[k, ray, c] = sum_g w[g, c] * tau_g(bin k) / bin_width — the
     closed-form counterpart of evaluating w-weighted PDFs at the bin's shell
-    radius. Chunked over Gaussians to bound the (K, R, N) intermediate.
+    radius. Chunked over Gaussians to bound the (K, R, N) intermediate; when
+    `gauss_chunk` is None a memory-safe chunk is derived from the grid shape
+    (the unchunked intermediate at 100k Gaussians x 200 bins x 32^2 rays
+    would be ~82 GB).
     """
     ns = grid.theta.shape[0]
     num_r = grid.r.shape[0]
+    if gauss_chunk is None:
+        # ~3 live (K+1, R, chunk) f32 temporaries (z, erf, taus); cap ~600 MB.
+        per_g_bytes = 4 * (num_r + 1) * (ns * ns)
+        gauss_chunk = max(64, int(200e6 // max(per_g_bytes, 1)))
     cam = jnp.asarray(camera_pos)
     # Unit directions (theta, phi) — matches grid.points construction.
     sin_t = jnp.sin(grid.theta)

@@ -254,8 +254,13 @@ def _fused_field_vjp_bwd(a_sub, g_tile, interpret, precision, residuals, go):
 fused_field.defvjp(_fused_field_vjp_fwd, _fused_field_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def take_rows(table: jax.Array, idx: jax.Array, unique_per_tile: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def take_rows(
+    table: jax.Array,
+    idx: jax.Array,
+    counts: Optional[jax.Array] = None,
+    unique_per_tile: bool = False,
+):
     """Gather rows `table[idx]` with a tuned scatter-add backward.
 
     idx: (T, K) row ids. When `unique_per_tile` (true for the top_k compaction
@@ -263,23 +268,43 @@ def take_rows(table: jax.Array, idx: jax.Array, unique_per_tile: bool = False):
     globally sorted), the backward runs one unique-indices scatter per tile —
     faster than the single duplicated scatter XLA emits for plain
     fancy-indexing (measured 6.7 vs 8.9 ms at (32, 16384) -> (100k, 12)).
+
+    Both cull paths zero-PAD their per-tile index lists (so index 0 repeats
+    whenever a tile is not full), and duplicate indices under
+    unique_indices=True are undefined behavior in XLA. `counts` (T,) marks the
+    valid prefix of each tile's list; padding slots are rerouted to unique
+    sentinel rows >= len(table) in a widened scatter buffer, keeping the
+    per-tile uniqueness guarantee honest. Padding-slot cotangents are exactly
+    zero (channel weights are masked before the kernel, which in turn zeroes
+    the quadratic-form gradient), so the rerouted rows discard nothing.
+    Callers requesting `unique_per_tile` without `counts` fall back to the
+    duplicate-safe plain scatter.
     """
     return table[idx]
 
 
-def _take_rows_fwd(table, idx, unique_per_tile):
-    return table[idx], (idx, table.shape)
+def _take_rows_fwd(table, idx, counts, unique_per_tile):
+    return table[idx], (idx, counts, table.shape)
 
 
 def _take_rows_bwd(unique_per_tile, res, g):
-    idx, tshape = res
-    out = jnp.zeros(tshape, g.dtype)
-    if unique_per_tile:
+    idx, counts, tshape = res
+    n_rows = tshape[0]
+    if unique_per_tile and counts is not None:
+        k = idx.shape[1]
+        slot = jnp.arange(k, dtype=idx.dtype)[None, :]
+        safe_idx = jnp.where(slot < counts[:, None], idx, n_rows + slot)
+        buf = jnp.zeros((n_rows + k,) + tuple(tshape[1:]), g.dtype)
         for t in range(idx.shape[0]):
-            out = out.at[idx[t]].add(g[t], unique_indices=True)
+            buf = buf.at[safe_idx[t]].add(g[t], unique_indices=True)
+        out = buf[:n_rows]
     else:
-        out = out.at[idx.reshape(-1)].add(g.reshape((-1,) + g.shape[2:]))
-    return out, None
+        out = (
+            jnp.zeros(tshape, g.dtype)
+            .at[idx.reshape(-1)]
+            .add(g.reshape((-1,) + g.shape[2:]))
+        )
+    return out, None, None
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
@@ -370,9 +395,19 @@ def cull_tiles(
                     jnp.sin(jnp.clip(th_hi, 0.0, jnp.pi))),
         1e-3,
     )
-    dphi = jnp.arcsin(jnp.clip(radius / (d * sin_min), -1.0, 1.0))
+    phi_ratio = radius / (d * sin_min)
+    dphi = jnp.arcsin(jnp.clip(phi_ratio, -1.0, 1.0))
     ph_lo, ph_hi = sph[:, 2] - dphi, sph[:, 2] + dphi
     r_lo, r_hi = d - radius, d + radius
+    # Footprints that escape the interval parameterization must cover every
+    # angular tile: a cull sphere containing the scan point (radius >= d) sees
+    # the full sphere; a cone whose sin(half-angle) reaches sin(theta) wraps
+    # around a pole (full phi circle); a phi window crossing the +-pi seam
+    # wraps. arcsin's clamp used to cap these at pi/2 — a silent drop.
+    full_th = radius >= d
+    full_ph = full_th | (phi_ratio >= 1.0) | (ph_lo < -jnp.pi) | (ph_hi > jnp.pi)
+    full_th = full_th & (radius >= 0.0)
+    full_ph = full_ph & (radius >= 0.0)
 
     def interval_tile_overlap(lo, hi, axis_vals, tile_size, n_tiles):
         # Tile bounds from the (monotonic) axis grid; padded tiles reuse the
@@ -384,8 +419,8 @@ def cull_tiles(
         t_hi = jnp.maximum(tiles[:, 0], tiles[:, -1])
         return (lo[:, None] <= t_hi[None, :]) & (hi[:, None] >= t_lo[None, :])
 
-    m_th = interval_tile_overlap(th_lo, th_hi, theta, spec.t_theta, n_tt)
-    m_ph = interval_tile_overlap(ph_lo, ph_hi, phi, spec.t_phi, n_pt)
+    m_th = interval_tile_overlap(th_lo, th_hi, theta, spec.t_theta, n_tt) | full_th[:, None]
+    m_ph = interval_tile_overlap(ph_lo, ph_hi, phi, spec.t_phi, n_pt) | full_ph[:, None]
     m_r = interval_tile_overlap(r_lo, r_hi, r, spec.t_r, n_rt)
     live = radius >= 0.0
 
@@ -499,7 +534,7 @@ def fused_gaussian_field(
     # ~2x the cost in XLA (see take_rows).
     unique = _topk_compaction(gfeat.shape[0], n_tt * n_pt * n_rt)
     gw = jnp.concatenate([gfeat, channel_weights], axis=1)  # (G, 10 + C)
-    gw_tiles = take_rows(gw, tiles.indices, unique)
+    gw_tiles = take_rows(gw, tiles.indices, tiles.counts, unique)
     g_tiles = gw_tiles[..., :FDIM]
     w_tiles = gw_tiles[..., FDIM:] * tiles.slot_valid[..., None]
     out = fused_field(

@@ -101,8 +101,15 @@ def rsort_cull(
         ),
         1e-3,
     )
-    dphi = jnp.arcsin(jnp.clip(radius / (d * sin_min), -1.0, 1.0))
+    phi_ratio = radius / (d * sin_min)
+    dphi = jnp.arcsin(jnp.clip(phi_ratio, -1.0, 1.0))
     ph_lo, ph_hi = sph[:, 2] - dphi, sph[:, 2] + dphi
+    # Degenerate footprints cover everything (see cull_tiles): sphere contains
+    # the scan point / cone wraps a pole / phi window crosses the +-pi seam.
+    full_th = (radius >= d) & (radius >= 0.0)
+    full_ph = (
+        full_th | (phi_ratio >= 1.0) | (ph_lo < -jnp.pi) | (ph_hi > jnp.pi)
+    ) & (radius >= 0.0)
 
     def overlap(lo, hi, axis_vals, tile_size, n_tiles):
         pad = n_tiles * tile_size - axis_vals.shape[0]
@@ -112,8 +119,8 @@ def rsort_cull(
         t_hi = jnp.maximum(tiles[:, 0], tiles[:, -1])
         return (lo[:, None] <= t_hi[None, :]) & (hi[:, None] >= t_lo[None, :])
 
-    m_th = overlap(th_lo, th_hi, theta, spec.t_theta, n_tt)
-    m_ph = overlap(ph_lo, ph_hi, phi, spec.t_phi, n_pt)
+    m_th = overlap(th_lo, th_hi, theta, spec.t_theta, n_tt) | full_th[:, None]
+    m_ph = overlap(ph_lo, ph_hi, phi, spec.t_phi, n_pt) | full_ph[:, None]
     in_window = (d - radius <= r[-1]) & (d + radius >= r[0]) & (radius >= 0.0)
     mask = (
         m_th[:, :, None] & m_ph[:, None, :] & in_window[:, None, None]
@@ -465,7 +472,7 @@ def rsort_gaussian_field(
     xfeat = tile_points(points, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
 
     gw = jnp.concatenate([gfeat, channel_weights], axis=1)
-    gw_sorted = take_rows(gw, tiles.sorted_ids, True)
+    gw_sorted = take_rows(gw, tiles.sorted_ids, tiles.counts, True)
     # Zero channel weights on padding slots (sorted to the tail).
     c = channel_weights.shape[-1]
     w_mask = (

@@ -238,6 +238,11 @@ def field_response_pallas(
     per-sample field is a Gaussian-sum in those modes, so culling + fused
     accumulation is exact). The per_gaussian occlusion mode needs the
     un-reduced (gaussian, sample) matrix and stays on the dense path.
+
+    Returns:
+      (flattened (A,) response, overflow flag) — overflow means a static
+      culling capacity saturated and contributions were truncated; it must
+      reach the training loop (see `train.StepAux`), never be discarded.
     """
     ns2 = settings.num_sampling_points**2
     num_r = settings.num_bins
@@ -270,12 +275,14 @@ def field_response_pallas(
             )
             return field
 
+    overflow = tiles.overflowed
+
     def gsum(x):
         return x if gauss_axis is None else jax.lax.psum(x, gauss_axis)
 
     if not settings.occlusion:
         field = run((op * rho)[:, None])
-        return gsum(field[..., 0].reshape(-1))
+        return gsum(field[..., 0].reshape(-1)), overflow
 
     cdt = c * delta_t
     if settings.occlusion_mode != "aggregate":
@@ -295,7 +302,7 @@ def field_response_pallas(
         out = alpha * trans * mean_rho
     else:
         raise ValueError(settings.rendering_type)
-    return out.reshape(-1)
+    return out.reshape(-1), overflow
 
 
 def check_culling_capacity(
@@ -362,12 +369,18 @@ def render_transient(
     active_sh_degree,
     settings: RenderSettings,
     gauss_axis: Optional[str] = None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render the (num_r, ns^2) transient field and its (num_r,) histogram.
 
     Pipeline (reference `gaussian_transient_rendering`, `nlos_helpers.py:192-232`):
       field -> reshape (num_r, ns^2) -> * sin(theta)/r^2 -> * volume_y^2
       -> sum over angles -> * dtheta*dphi.
+
+    Returns:
+      (transient (num_r, ns^2), histogram (num_r,), overflow () bool).
+      `overflow` is True when a block-sparse backend saturated a static
+      culling capacity for this render (dense/analytic backends never
+      truncate, so it is constant False there).
     """
     grid = shell_grid(
         camera_pos,
@@ -378,9 +391,10 @@ def render_transient(
         c,
         delta_t,
     )
+    overflow = jnp.asarray(False)
     aggregate_ok = not settings.occlusion or settings.occlusion_mode == "aggregate"
     if settings.backend in ("pallas", "pallas_rsort") and aggregate_ok:
-        out = field_response_pallas(
+        out, overflow = field_response_pallas(
             scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
             gauss_axis=gauss_axis,
         )
@@ -408,13 +422,13 @@ def render_transient(
         # load-bearing for the loss scale (`nlos_helpers.py:226`).
         result = result * (jnp.asarray(volume_position)[1] ** 2)
     hist = jnp.sum(result, axis=1) * grid.dtheta * grid.dphi
-    return result, hist
+    return result, hist, overflow
 
 
 def render_histogram(scene, camera_pos, box_points, c, delta_t, volume_position,
                      active_sh_degree, settings: RenderSettings) -> jax.Array:
     """(num_r,) histogram only."""
-    _, hist = render_transient(
+    _, hist, _ = render_transient(
         scene, camera_pos, box_points, c, delta_t, volume_position,
         active_sh_degree, settings,
     )

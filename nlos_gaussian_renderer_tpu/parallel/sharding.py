@@ -96,6 +96,9 @@ def make_sharded_train_step(
         grads = jax.lax.pmean(grads, scan_axis)
         loss = jax.lax.pmean(aux.loss, scan_axis)
         eq = jax.lax.pmean(aux.equal_loss, scan_axis)
+        overflow = (
+            jax.lax.pmax(aux.overflow.astype(jnp.int32), scan_axis) > 0
+        )
 
         updates, opt_state = tx.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
@@ -109,7 +112,7 @@ def make_sharded_train_step(
         )
         return new_state, StepAux(
             loss=loss, equal_loss=eq, pred_hist=aux.pred_hist,
-            target_hist=aux.target_hist,
+            target_hist=aux.target_hist, overflow=overflow,
         )
 
     aux_specs = StepAux(
@@ -117,6 +120,7 @@ def make_sharded_train_step(
         equal_loss=P(),
         pred_hist=P(scan_axis, None),
         target_hist=P(scan_axis, None),
+        overflow=P(),
     )
     sharded = jax.shard_map(
         local_step,

@@ -87,6 +87,10 @@ class StepAux(NamedTuple):
     equal_loss: jax.Array
     pred_hist: jax.Array  # (B, num_r) prediction of the first batch element
     target_hist: jax.Array
+    # True when a block-sparse culling capacity saturated during this step's
+    # render — the histogram silently lost contributions and the caps must be
+    # re-tuned (see `fit`). Constant False on dense/analytic backends.
+    overflow: jax.Array = jnp.asarray(False)
 
 
 def batched_loss_fn(
@@ -103,14 +107,14 @@ def batched_loss_fn(
     gauss_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, StepAux]:
     def one(cam, target):
-        _, hist = render_transient(
+        _, hist, overflow = render_transient(
             scene, cam, box_points, c, delta_t, volume_position,
             active_sh_degree, settings, gauss_axis=gauss_axis,
         )
         loss, eq = mse_loss(hist, target)
-        return loss, eq, hist
+        return loss, eq, hist, overflow
 
-    losses, eqs, hists = jax.vmap(one)(cams, targets)
+    losses, eqs, hists, overflows = jax.vmap(one)(cams, targets)
     loss = jnp.mean(losses)
 
     if optim.regularization:
@@ -131,7 +135,8 @@ def batched_loss_fn(
         )
 
     return loss, StepAux(
-        loss=loss, equal_loss=jnp.mean(eqs), pred_hist=hists, target_hist=targets
+        loss=loss, equal_loss=jnp.mean(eqs), pred_hist=hists,
+        target_hist=targets, overflow=jnp.any(overflows),
     )
 
 
@@ -168,6 +173,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     max_sh_degree: int,
     sh_anneal_interval: int = 1000,
+    seed: int = 0,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -199,7 +205,9 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
         if optim.sgld_noise:
-            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            # Derive the noise stream from the run seed: reruns with different
+            # cfg.rng must not share identical SGLD noise.
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
             scene = dataclasses.replace(
                 scene,
                 means=scene.means
@@ -256,6 +264,85 @@ class FitResult:
     losses: np.ndarray
     equal_losses: np.ndarray
     iters_per_sec: float
+    # True if any monitored step saturated a culling capacity that could not
+    # be healed by re-tuning (should be False for a healthy run).
+    overflow_detected: bool = False
+    # Number of capacity re-tunes (overflow- or densification-triggered).
+    retunes: int = 0
+
+
+def probe_scan_points(data: NLOSData) -> np.ndarray:
+    """Representative scan points for capacity fitting: the four corners and
+    the middle of the scan grid (corners concentrate the population into few
+    angular tiles and drive the worst-case culling capacities)."""
+    _, m, n = data.shape
+    grid = np.asarray(data.camera_grid_positions).T  # (MN, 3)
+    ids = [0, n - 1, (m - 1) * n, m * n - 1, (m * n) // 2]
+    return grid[sorted(set(ids))]
+
+
+def fit_culling_capacity(
+    settings: RenderSettings,
+    scene: GaussianScene,
+    probe_cams: np.ndarray,
+    box_points,
+    c: float,
+    delta_t: float,
+    grow_only: bool = True,
+) -> Tuple[RenderSettings, bool]:
+    """Fit the active backend's static culling capacities to the scene.
+
+    Returns (settings, changed). With `grow_only` (the runtime re-tune mode)
+    capacities only ever grow (element-wise max with the current spec) so a
+    re-tune never shrinks a compiled step's caps; the initial fit
+    (`prepare_training`) passes grow_only=False to size them tightly.
+    Backends without static capacities return unchanged settings.
+    """
+    if settings.backend == "pallas_rsort":
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import tune_rsort_spec
+
+        cur = settings.rsort_spec
+        fitted = tune_rsort_spec(
+            scene, probe_cams, box_points, settings.num_sampling_points,
+            settings.start, settings.end, c, delta_t, base=cur,
+            scaling_modifier=settings.scaling_modifier,
+        )
+        if grow_only:
+            new = cur._replace(
+                k_ang=max(cur.k_ang, fitted.k_ang),
+                kb_max=max(cur.kb_max, fitted.kb_max),
+                j_span=max(cur.j_span, fitted.j_span),
+            )
+        else:
+            new = fitted
+        return settings._replace(rsort_spec=new), new != cur
+    if settings.backend == "pallas":
+        from nlos_gaussian_renderer_tpu.ops.render import check_culling_capacity
+
+        changed = False
+        for cam in np.asarray(probe_cams).reshape(-1, 3):
+            tries = 0
+            diag = check_culling_capacity(
+                scene, jnp.asarray(cam), box_points, c, delta_t, settings
+            )
+            # max_count is clamped at k_max, so double until it stops
+            # saturating rather than trusting the reported count.
+            while diag.get("overflowed") and tries < 8:
+                spec = settings.tile_spec
+                new_k = 2 * spec.k_max
+                print(
+                    f"culling capacity saturated ({diag}); raising k_max -> {new_k}"
+                )
+                settings = settings._replace(
+                    tile_spec=spec._replace(k_max=new_k)
+                )
+                changed = True
+                tries += 1
+                diag = check_culling_capacity(
+                    scene, jnp.asarray(cam), box_points, c, delta_t, settings
+                )
+        return settings, changed
+    return settings, False
 
 
 def prepare_training(
@@ -295,6 +382,25 @@ def prepare_training(
     box_points = gmath.volume_box_points(
         jnp.asarray(data.volume_position), data.volume_size
     )
+    # Fit the block-sparse culling capacities to the initial population up
+    # front (static shapes; re-fitted by `fit` when densification grows the
+    # population or a step reports overflow).
+    probes = probe_scan_points(data)
+    settings, _ = fit_culling_capacity(
+        settings, scene, probes, box_points, data.c, data.deltaT,
+        grow_only=False,
+    )
+    if settings.backend in ("pallas", "pallas_rsort"):
+        from nlos_gaussian_renderer_tpu.ops.render import check_culling_capacity
+
+        diag = check_culling_capacity(
+            scene, jnp.asarray(probes[-1]), box_points, data.c, data.deltaT,
+            settings,
+        )
+        if diag.get("overflowed"):
+            print(f"WARNING: culling capacity saturated — raise caps! {diag}")
+        else:
+            print(f"culling capacity ok: {diag}")
     return scene, tx, settings, box_points
 
 
@@ -324,12 +430,43 @@ def fit(
         cfg, optim, data, init_points, init_rhos
     )
     state = init_state if init_state is not None else create_train_state(scene, tx)
-    step_fn = make_train_step(settings, optim, tx, cfg.sh_degree)
+    step_fn = make_train_step(settings, optim, tx, cfg.sh_degree, seed=cfg.rng)
 
     l, m, n = data.shape
     nlos = jnp.asarray(data.nlos_data.reshape(l, m * n))  # (L, MN)
     cam_grid = jnp.asarray(data.camera_grid_positions.T)  # (MN, 3)
     vol_pos = jnp.asarray(data.volume_position)
+    probe_cams = probe_scan_points(data)
+    retunes = 0
+    overflow_detected = False
+
+    def retune(state):
+        """Grow culling capacities to the current population; rebuild the
+        step on change. Keeps silent truncation impossible during training:
+        with --densify the population grows 5%/interval past whatever the
+        initial capacity check saw (the `ray_aabb.cu:10-61` silent-256-cap
+        failure mode, and this repo's own 40%-off-histogram war story)."""
+        nonlocal settings, step_fn, retunes
+        new_settings, changed = fit_culling_capacity(
+            settings, state.scene, probe_cams, box_points, data.c, data.deltaT
+        )
+        if changed:
+            settings = new_settings
+            step_fn = make_train_step(
+                settings, optim, tx, cfg.sh_degree, seed=cfg.rng
+            )
+            retunes += 1
+            if settings.backend == "pallas_rsort":
+                caps = settings.rsort_spec
+                print(
+                    "culling capacities re-tuned: "
+                    f"k_ang={caps.k_ang} kb_max={caps.kb_max} j_span={caps.j_span}"
+                )
+            else:
+                print(
+                    f"culling capacity re-tuned: k_max={settings.tile_spec.k_max}"
+                )
+        return changed
 
     @jax.jit
     def gather_batch(idx):
@@ -340,6 +477,7 @@ def fit(
 
     stream = scan_point_stream(rng, m, n, cfg.batch_size)
     losses, eqs = [], []
+    of_acc = jnp.asarray(False)
     densify_key = jax.random.PRNGKey(cfg.rng + 1)
     t0 = time.time()
     for it in range(num_iters):
@@ -365,9 +503,26 @@ def fit(
                     scene=scene2, opt_state=opt2, step=state.step,
                     active_sh_degree=state.active_sh_degree,
                 )
+                # The population just grew: re-fit the culling capacities
+                # before the next render can truncate.
+                retune(state)
+        # Lazy overflow accumulator: no device sync per iter; inspected (and
+        # reset) at log boundaries so every step since the last check counts.
+        of_acc = jnp.logical_or(of_acc, aux.overflow)
         if (it + 1) % log_every == 0 or it == num_iters - 1:
             losses.append(float(aux.loss))
             eqs.append(float(aux.equal_loss))
+            if bool(of_acc):
+                print(
+                    f"WARNING: culling capacity overflow by iter {it + 1} — "
+                    "re-tuning caps"
+                )
+                healed = retune(state)
+                if not healed:
+                    # Caps at the fitted maximum and still overflowing: the
+                    # probe points must not cover this batch's worst case.
+                    overflow_detected = True
+                of_acc = jnp.asarray(False)
         if callback is not None:
             callback(it, state, aux)
     jax.block_until_ready(state.scene.means)
@@ -377,4 +532,6 @@ def fit(
         losses=np.asarray(losses),
         equal_losses=np.asarray(eqs),
         iters_per_sec=num_iters / max(dt, 1e-9),
+        overflow_detected=overflow_detected,
+        retunes=retunes,
     )

@@ -122,8 +122,8 @@ class TestAnalyticRenderer:
             num_sampling_points=8, start=150, end=350, occlusion=occ
         )
         settings_a = settings_n._replace(backend="analytic")
-        _, hn = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, settings_n)
-        _, ha = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, settings_a)
+        _, hn, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, settings_n)
+        _, ha, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, settings_a)
         rel = float(
             jnp.linalg.norm(ha - hn) / (jnp.linalg.norm(hn) + 1e-12)
         )
@@ -137,8 +137,8 @@ class TestAnalyticRenderer:
         for start, end, dt in [(75, 175, 0.008), (150, 350, 0.004)]:
             s_n = RenderSettings(num_sampling_points=8, start=start, end=end)
             s_a = s_n._replace(backend="analytic")
-            _, hn = render_transient(scene, CAM, BOX, C, dt, VOL_POS, 1, s_n)
-            _, ha = render_transient(scene, CAM, BOX, C, dt, VOL_POS, 1, s_a)
+            _, hn, _ = render_transient(scene, CAM, BOX, C, dt, VOL_POS, 1, s_n)
+            _, ha, _ = render_transient(scene, CAM, BOX, C, dt, VOL_POS, 1, s_a)
             # Compare integrated energy (bin count differs between configs).
             errs.append(
                 float(jnp.abs(jnp.sum(ha) * dt - jnp.sum(hn) * dt))
@@ -154,7 +154,7 @@ class TestAnalyticRenderer:
         target = jnp.ones(settings.num_bins) * 0.05
 
         def loss(sc):
-            _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, settings)
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, settings)
             return mse_loss(h, target)[0]
 
         g = jax.grad(loss)(scene)

@@ -174,8 +174,8 @@ class TestPallasRenderParity:
         scene = make_scene(48, seed=6)
         s_p = SETTINGS._replace(occlusion=occ)
         s_d = DENSE._replace(occlusion=occ)
-        _, hp = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_p)
-        _, hd = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_d)
+        _, hp, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_p)
+        _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_d)
         np.testing.assert_allclose(hp, hd, rtol=2e-3, atol=1e-10)
 
     def test_gradient_parity(self):
@@ -183,7 +183,7 @@ class TestPallasRenderParity:
         target = jnp.ones(SETTINGS.num_bins) * 0.1
 
         def loss(sc, settings):
-            _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, settings)
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, settings)
             return mse_loss(h, target)[0]
 
         gp = jax.grad(lambda sc: loss(sc, SETTINGS))(scene)
@@ -217,8 +217,8 @@ class TestNonDivisibleShapes:
                            backend="pallas", tile_spec=spec)
         d = s._replace(backend="dense")
         scene = make_scene(24, seed=11)
-        _, hp = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s)
-        _, hd = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, d)
+        _, hp, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s)
+        _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, d)
         np.testing.assert_allclose(hp, hd, rtol=3e-3, atol=1e-9)
 
     def test_two_channel_vjp_through_render(self):
@@ -230,7 +230,7 @@ class TestNonDivisibleShapes:
         target = jnp.full((s.num_bins,), 0.05)
 
         def loss(sc, st):
-            _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
             return mse_loss(h, target)[0]
 
         gp = jax.grad(lambda sc: loss(sc, s))(scene)

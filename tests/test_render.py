@@ -99,8 +99,8 @@ class TestDenseRender:
         for occ, mode in [(False, "aggregate"), (True, "aggregate"), (True, "per_gaussian")]:
             s1 = SETTINGS._replace(occlusion=occ, occlusion_mode=mode, pdf_impl="matmul")
             s2 = s1._replace(pdf_impl="direct")
-            _, h1 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s1)
-            _, h2 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s2)
+            _, h1, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s1)
+            _, h2, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s2)
             np.testing.assert_allclose(h1, h2, rtol=2e-4, atol=1e-9)
 
     def test_no_occlusion_additive_in_gaussians(self):
@@ -131,17 +131,17 @@ class TestDenseRender:
                 )
             }
         )
-        _, h = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
-        _, ha = render_transient(half_a, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
-        _, hb = render_transient(half_b, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, h, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, ha, _ = render_transient(half_a, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, hb, _ = render_transient(half_b, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
         np.testing.assert_allclose(np.asarray(ha) + np.asarray(hb), h, rtol=1e-4)
 
     def test_dead_slots_do_not_contribute(self):
         scene = make_scene(16, capacity=64)
-        _, h = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, h, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
         # Same 16 Gaussians without padding.
         tight = jax.tree.map(lambda x: x[:16], scene)
-        _, h2 = render_transient(tight, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, h2, _ = render_transient(tight, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
         # Padding changes matmul accumulation order -> f32 rounding noise.
         np.testing.assert_allclose(h, h2, rtol=5e-5)
 
@@ -183,9 +183,9 @@ class TestDenseRender:
     def test_aggregate_netf_transmittance_dims(self):
         # Occlusion must only attenuate: histogram <= no-occlusion histogram.
         scene = make_scene(24)
-        _, h_free = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, h_free, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
         s_occ = SETTINGS._replace(occlusion=True, occlusion_mode="aggregate")
-        _, h_occ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s_occ)
+        _, h_occ, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s_occ)
         # aggregate netf multiplies by c*dt too; compare shapes/finiteness and
         # attenuation of the transmittance-free variant.
         assert h_occ.shape == h_free.shape
@@ -206,7 +206,7 @@ class TestDenseRender:
             s = SETTINGS._replace(occlusion=occ, occlusion_mode=mode, rendering_type=rt)
 
             def loss_fn(sc):
-                _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 2, s)
+                _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 2, s)
                 return mse_loss(h, target)[0]
 
             grads = jax.grad(loss_fn)(scene)
@@ -215,9 +215,9 @@ class TestDenseRender:
 
     def test_volume_y2_factor(self):
         scene = make_scene(8)
-        _, h1 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
+        _, h1, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, SETTINGS)
         s_off = SETTINGS._replace(apply_volume_y2_factor=False)
-        _, h2 = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s_off)
+        _, h2, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 2, s_off)
         np.testing.assert_allclose(h1, h2 * float(VOL_POS[1]) ** 2, rtol=1e-6)
 
     def test_mse_loss(self):

@@ -111,8 +111,8 @@ class TestRSortParity:
         scene = make_scene(48, seed=3)
         s_r = SETTINGS._replace(occlusion=occ)
         s_d = DENSE._replace(occlusion=occ)
-        _, hr = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_r)
-        _, hd = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_d)
+        _, hr, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_r)
+        _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_d)
         np.testing.assert_allclose(hr, hd, rtol=3e-3, atol=1e-9)
 
     def test_gradient_parity(self):
@@ -120,7 +120,7 @@ class TestRSortParity:
         target = jnp.ones(SETTINGS.num_bins) * 0.1
 
         def loss(sc, st):
-            _, h = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
             return mse_loss(h, target)[0]
 
         gr = jax.grad(lambda sc: loss(sc, SETTINGS))(scene)
@@ -140,8 +140,8 @@ class TestRSortParity:
             tile_spec=TileSpec(t_theta=4, t_phi=8, t_r=16, k_max=64,
                                a_sub=256, g_tile=32),
         )
-        _, hr = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
-        _, ht = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_t)
+        _, hr, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
+        _, ht, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_t)
         np.testing.assert_allclose(hr, ht, rtol=3e-3, atol=1e-9)
 
 
@@ -184,8 +184,113 @@ class TestTuneSpec:
         # ... and no larger than the population allows.
         assert spec.k_ang <= 64  # 48 gaussians -> one 32-block rounds to 64
         # Render parity still holds with fitted caps.
-        _, hr = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s)
-        _, hd = render_transient(
+        _, hr, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s)
+        _, hd, _ = render_transient(
             scene, CAM, BOX, C, DT, VOL_POS, 1, DENSE
         )
         np.testing.assert_allclose(hr, hd, rtol=3e-3, atol=1e-9)
+
+
+class TestDegenerateFootprints:
+    def test_engulfing_gaussian_covers_all_angular_tiles(self):
+        """A Gaussian whose 3-sigma cull sphere contains the scan point sees
+        the full sphere: it must land in EVERY angular tile's list (the
+        arcsin clamp used to cap the footprint at a half-sphere and silently
+        drop tiles — ADVICE r1)."""
+        import dataclasses
+
+        scene = make_scene(8, seed=11)
+        # Place gaussian 0 between the scan point and the volume, large
+        # enough that radius = 3*1.1*sigma_max > d but still inside the
+        # radial in_window test (d + radius >= r[0] = 0.6).
+        means = np.array(scene.means)
+        direction = np.asarray(VOL_POS) - np.asarray(CAM)
+        direction /= np.linalg.norm(direction)
+        means[0] = np.asarray(CAM) + 0.35 * direction
+        log_scales = np.array(scene.log_scales)
+        log_scales[0] = np.log(0.15)  # radius = 3*1.1*0.15 = 0.495 > d = 0.35
+        scene = dataclasses.replace(
+            scene,
+            means=jnp.asarray(means),
+            log_scales=jnp.asarray(log_scales),
+        )
+        grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        spec = SPEC._replace(k_ang=64)
+        tiles = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, spec,
+        )
+        ids = np.asarray(tiles.sorted_ids)
+        counts = np.asarray(tiles.counts)
+        for t in range(ids.shape[0]):
+            assert 0 in ids[t][: counts[t]], f"tile {t} dropped the engulfing gaussian"
+
+    def test_pole_wrapping_gaussian_covers_all_phi_tiles(self):
+        """A Gaussian whose angular cone wraps a theta pole must cover every
+        phi tile of the affected theta rows (sin(alpha) >= sin(theta) there,
+        so the phi footprint is the full circle; the arcsin clamp used to cap
+        it at a half-circle)."""
+        from nlos_gaussian_renderer_tpu.ops.fused import (
+            TileSpec,
+            cull_tiles,
+            tile_grid_dims,
+        )
+
+        # Hand-built near-pole grid: theta hugs 0, phi spans a wide window.
+        ns = 8
+        theta = jnp.linspace(0.05, 0.4, ns)
+        phi = jnp.linspace(-3.0, 3.0, ns)
+        r = jnp.linspace(0.6, 1.4, 80)
+        cam = jnp.zeros(3)
+        d0 = 1.0
+        th_g = 0.1
+        means = jnp.asarray(
+            [[np.sin(th_g), 0.0, np.cos(th_g)],  # near the +z pole, phi = 0
+             [0.3, 0.3, 0.8]],
+            jnp.float32,
+        ) * d0
+        # radius = 3 * 1.1 * sigma = 0.198: > d*sin(theta_row0) but << d.
+        scales = jnp.full((2, 3), 0.06, jnp.float32)
+        alive = jnp.ones(2, jnp.float32)
+        spec = TileSpec(t_theta=4, t_phi=2, t_r=16, k_max=2)
+        tiles = cull_tiles(means, scales, alive, cam, theta, phi, r, spec)
+        n_tt, n_pt, n_rt = tile_grid_dims(ns, 80, spec)
+        rt = int((d0 - 0.6) / (16 * float(r[1] - r[0])))
+        ids = np.asarray(tiles.indices)
+        counts = np.asarray(tiles.counts)
+        for pt in range(n_pt):
+            t = (rt * n_tt + 0) * n_pt + pt
+            assert 0 in ids[t][: counts[t]], (
+                f"phi tile {pt} dropped the pole-wrapping gaussian"
+            )
+
+
+class TestTakeRowsScatter:
+    def test_padded_unique_scatter_grad_matches_plain(self):
+        """Zero-padded index lists repeat row 0; the unique-scatter backward
+        must not corrupt row 0's gradient (duplicate indices under
+        unique_indices=True are UB in XLA — ADVICE r1). Padding slots carry
+        zero cotangent in real use; with counts given, even NONZERO padding
+        cotangents must be dropped, matching the masked plain scatter."""
+        from nlos_gaussian_renderer_tpu.ops.fused import take_rows
+
+        rng = np.random.default_rng(3)
+        table = jnp.asarray(rng.normal(size=(7, 5)), jnp.float32)
+        idx = jnp.asarray([[3, 1, 0, 0], [0, 2, 6, 0]], jnp.int32)  # 0-padded
+        counts = jnp.asarray([3, 3], jnp.int32)
+        g_out = jnp.asarray(rng.normal(size=(2, 4, 5)), jnp.float32)
+
+        def f_unique(t):
+            return jnp.sum(take_rows(t, idx, counts, True) * g_out)
+
+        def f_plain(t):
+            slot_valid = (jnp.arange(4)[None, :] < counts[:, None])
+            masked = g_out * slot_valid[:, :, None]
+            return jnp.sum(take_rows(t, idx, None, False) * masked)
+
+        gu = jax.grad(f_unique)(table)
+        gp = jax.grad(f_plain)(table)
+        np.testing.assert_allclose(np.asarray(gu), np.asarray(gp), rtol=1e-6)
+        # Row 0 receives exactly the two valid slot-0/slot-2 contributions.
+        expected0 = np.asarray(g_out)[0, 2] + np.asarray(g_out)[1, 0]
+        np.testing.assert_allclose(np.asarray(gu)[0], expected0, rtol=1e-6)

@@ -135,7 +135,7 @@ class TestShardedBackends:
         cam = jnp.asarray(data.camera_grid_positions[:, 3])
         vol = jnp.asarray(data.volume_position)
 
-        _, ref = render_transient(scene, cam, box, data.c, data.deltaT, vol,
+        _, ref, _ = render_transient(scene, cam, box, data.c, data.deltaT, vol,
                                   1, s)
 
         mesh = make_mesh([1, 8], ("scan", "gauss"))
@@ -143,7 +143,7 @@ class TestShardedBackends:
                              scene)
 
         def fn(sc):
-            _, h = render_transient(sc, cam, box, data.c, data.deltaT, vol, 1,
+            _, h, _ = render_transient(sc, cam, box, data.c, data.deltaT, vol, 1,
                                     s, gauss_axis="gauss")
             return h
 

@@ -267,3 +267,96 @@ class TestSgldNoise:
         optim = OptimizationParams(sgld_noise=True, noise_lr=1e3)
         res = fit(cfg, optim, tiny_data, num_iters=5, log_every=1)
         assert np.all(np.isfinite(res.losses))
+
+
+class TestOverflowSafety:
+    """Silent truncation must be impossible during training (VERDICT r1 #2):
+    the culling overflow flag reaches StepAux, and `fit` re-tunes capacities
+    when densification grows the population past them."""
+
+    def test_overflow_surfaces_in_step_aux(self, tiny_data):
+        import jax.numpy as jnp
+
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec
+        from nlos_gaussian_renderer_tpu.ops.render import RenderSettings
+        from nlos_gaussian_renderer_tpu.train import (
+            create_train_state,
+            make_train_step,
+            prepare_training,
+        )
+
+        cfg = tiny_config(tiny_data, init_gaussian_num=64, batch_size=1)
+        optim = OptimizationParams()
+        scene, tx, _, box = prepare_training(cfg, optim, tiny_data)
+        # Deliberately tiny caps: 64 gaussians >> k_ang = 32.
+        tiny_spec = RSortSpec(
+            t_theta=8, t_phi=16, t_chunk=8, k_ang=32, g_tile=32, kb_max=2,
+            j_span=2,
+        )
+        settings = RenderSettings(
+            num_sampling_points=8, start=cfg.start, end=cfg.end,
+            backend="pallas_rsort", rsort_spec=tiny_spec,
+        )
+        step = make_train_step(settings, optim, tx, cfg.sh_degree)
+        state = create_train_state(scene, tx)
+        cams = jnp.asarray(tiny_data.camera_grid_positions.T[:1])
+        targets = jnp.asarray(
+            tiny_data.nlos_data.reshape(tiny_data.shape[0], -1)
+            [cfg.start : cfg.end].T[:1] * cfg.gt_times
+        )
+        _, aux = step(
+            state, cams, targets,
+            jnp.asarray(box), tiny_data.c, tiny_data.deltaT,
+            jnp.asarray(tiny_data.volume_position),
+        )
+        assert bool(aux.overflow), "saturated caps must surface in StepAux"
+
+    def test_densify_retunes_capacity(self, tiny_data):
+        import dataclasses as dc
+
+        from nlos_gaussian_renderer_tpu.ops.render import render_transient
+
+        cfg = tiny_config(
+            tiny_data, renderer="pallas_rsort", init_gaussian_num=48,
+            batch_size=1, print_interval=5,
+        )
+        optim = OptimizationParams(
+            mcmc_densification_flag=True, densify_from_iter=1,
+            densification_interval=1, cap_max=512,
+        )
+        res = fit(cfg, optim, tiny_data, num_iters=45, log_every=5)
+        n_alive = int(float(jnp.sum(res.state.scene.alive)))
+        assert n_alive > 150, "population must have grown past the init caps"
+        assert res.retunes >= 1, "fit must re-tune caps as the population grows"
+        assert not res.overflow_detected, "no unhealed overflow allowed"
+        # The grown scene renders exactly (no truncated contributions):
+        # rsort with the re-tuned caps must match the dense reference.
+        from nlos_gaussian_renderer_tpu.ops import math as gmath
+        from nlos_gaussian_renderer_tpu.train import (
+            fit_culling_capacity,
+            probe_scan_points,
+        )
+        from nlos_gaussian_renderer_tpu.ops.render import RenderSettings
+
+        box = gmath.volume_box_points(
+            jnp.asarray(tiny_data.volume_position), tiny_data.volume_size
+        )
+        settings = RenderSettings.from_config(cfg)
+        settings, _ = fit_culling_capacity(
+            settings, res.state.scene, probe_scan_points(tiny_data), box,
+            tiny_data.c, tiny_data.deltaT,
+        )
+        cam = jnp.asarray(tiny_data.camera_grid_positions[:, 7])
+        vol = jnp.asarray(tiny_data.volume_position)
+        _, hr, of = render_transient(
+            res.state.scene, cam, box, tiny_data.c, tiny_data.deltaT, vol, 1,
+            settings,
+        )
+        _, hd, _ = render_transient(
+            res.state.scene, cam, box, tiny_data.c, tiny_data.deltaT, vol, 1,
+            settings._replace(backend="dense"),
+        )
+        assert not bool(of)
+        np.testing.assert_allclose(
+            np.asarray(hr), np.asarray(hd), rtol=5e-3, atol=1e-9
+        )

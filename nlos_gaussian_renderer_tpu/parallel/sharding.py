@@ -51,6 +51,47 @@ def shard_scene(state: TrainState, mesh: Mesh, gauss_axis: str = "gauss") -> Tra
     )
 
 
+def make_sharded_densify_step(
+    mesh: Mesh,
+    state_template: TrainState,
+    cap_max: int,
+    gauss_axis: str = "gauss",
+) -> Callable:
+    """Multi-chip MCMC densification: (scene, opt_state, key) -> (scene, opt).
+
+    The donor multinomial must sample from the GLOBAL opacity distribution,
+    and a dead slot's donor can live on another shard. Rather than hand-rolling
+    the cross-shard donor exchange, the jitted `densify_step` graph is
+    partitioned by GSPMD with the canonical Gaussian sharding pinned on inputs
+    and outputs: XLA inserts the all-gathers for the categorical sampling and
+    the donor-row fetches, and the result is bit-identical to the single-chip
+    step (the relocation math is deterministic given the key). Densification
+    runs once per `densification_interval` (500 iters), so the gathered
+    (capacity,) opacity vector and donor rows are a negligible ICI cost.
+    """
+    from nlos_gaussian_renderer_tpu.models.densify import densify_step
+
+    specs = state_specs(state_template, gauss_axis)
+
+    def shardings(spec_tree):
+        return jax.tree.map(
+            lambda s: NamedSharding(mesh, s), spec_tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
+    return jax.jit(
+        lambda scene, opt_state, key: densify_step(
+            scene, opt_state, key, cap_max=cap_max
+        ),
+        in_shardings=(
+            shardings(specs.scene),
+            shardings(specs.opt_state),
+            NamedSharding(mesh, P()),
+        ),
+        out_shardings=(shardings(specs.scene), shardings(specs.opt_state)),
+    )
+
+
 def make_sharded_train_step(
     mesh: Mesh,
     settings: RenderSettings,

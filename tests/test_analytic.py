@@ -174,3 +174,48 @@ class TestAnalyticRenderer:
         full = analytic_field(scene, grid, CAM, w)
         chunked = analytic_field(scene, grid, CAM, w, gauss_chunk=7)
         np.testing.assert_allclose(chunked, full, rtol=1e-4, atol=1e-7)
+
+    def test_gradient_parity_with_dense(self):
+        """Analytic gradients must agree with jax.grad of the dense numerical
+        path (the numerical backends carry the same check in test_pallas).
+        The two forwards differ only by the bin-quadrature error (<1%), so
+        normalized gradient distance is bounded accordingly."""
+        scene = make_scene(12, seed=6)
+        target = jnp.linspace(0.0, 0.1, 200)
+
+        def loss(sc, backend):
+            s = RenderSettings(
+                num_sampling_points=8, start=150, end=350, backend=backend
+            )
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, s)
+            return mse_loss(h, target)[0]
+
+        ga = jax.grad(lambda sc: loss(sc, "analytic"))(scene)
+        gd = jax.grad(lambda sc: loss(sc, "dense"))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities",
+                     "sh_dc", "sh_rest"):
+            a = np.asarray(getattr(ga, name)).ravel()
+            d = np.asarray(getattr(gd, name)).ravel()
+            rel = np.linalg.norm(a - d) / (np.linalg.norm(d) + 1e-20)
+            assert rel < 0.02, (name, rel)
+
+    def test_gradient_parity_chunked(self):
+        """Gradients flow identically through the lax.map chunking."""
+        scene = make_scene(10, seed=7)
+        from nlos_gaussian_renderer_tpu.ops.analytic import analytic_field
+        from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+        grid = shell_grid(CAM, BOX, 8, 150, 350, C, DT)
+
+        def loss(sc, chunk):
+            w = jnp.concatenate([sc.opacities, sc.opacities * 0.5], axis=-1)
+            return jnp.sum(analytic_field(sc, grid, CAM, w, gauss_chunk=chunk) ** 2)
+
+        g_full = jax.grad(lambda sc: loss(sc, 10))(scene)
+        g_chunk = jax.grad(lambda sc: loss(sc, 3))(scene)
+        for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_chunk)):
+            # f32 accumulation order differs between chunkings: compare by
+            # normalized L2 distance rather than elementwise.
+            a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+            rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-20)
+            assert rel < 1e-3, rel

@@ -120,18 +120,23 @@ class TestShardedStep:
 class TestShardedBackends:
     @pytest.mark.parametrize("backend,occ", [
         ("analytic", False), ("analytic", True), ("pallas", True),
+        ("pallas_rsort", False), ("pallas_rsort", True),
     ])
     def test_gauss_sharded_matches_unsharded(self, setup, backend, occ):
         # Gaussian-sharded rendering must be exact for Gaussian-sum fields.
         from jax.sharding import PartitionSpec as P
 
         from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec
         from nlos_gaussian_renderer_tpu.ops.render import render_transient
 
         data, cfg, optim, scene, tx, settings, box = setup
         spec = TileSpec(t_theta=4, t_phi=8, t_r=16, k_max=64, a_sub=256,
                         g_tile=32)
-        s = settings._replace(backend=backend, occlusion=occ, tile_spec=spec)
+        rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=64, g_tile=32,
+                          kb_max=4, j_span=16)
+        s = settings._replace(backend=backend, occlusion=occ, tile_spec=spec,
+                              rsort_spec=rspec)
         cam = jnp.asarray(data.camera_grid_positions[:, 3])
         vol = jnp.asarray(data.volume_position)
 
@@ -180,6 +185,94 @@ class TestShardedPallasTraining:
         assert np.isfinite(float(aux.loss))
         for leaf in jax.tree.leaves(state.scene):
             assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    def test_full_sharded_step_with_rsort_backend(self, setup):
+        """The flagship backend (pallas_rsort: searchsorted/argsort culling +
+        range-sparse kernels) under the full scan x gauss shard_map step must
+        match the single-device step."""
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec
+
+        data, cfg, optim, scene, tx, settings, box = setup
+        rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=64, g_tile=32,
+                          kb_max=4, j_span=16)
+        s = settings._replace(backend="pallas_rsort", rsort_spec=rspec)
+        mesh = make_mesh([2, 4], ("scan", "gauss"))
+        idx = np.arange(4)
+        cams = jnp.asarray(data.camera_grid_positions.T[idx])
+        targets = jnp.asarray(
+            data.nlos_data.reshape(64, -1)[cfg.start : cfg.end].T[idx]
+            * cfg.gt_times
+        )
+        vol = jnp.asarray(data.volume_position)
+
+        def fresh_state():
+            return create_train_state(jax.tree.map(jnp.copy, scene), tx)
+
+        single = make_train_step(s, optim, tx, cfg.sh_degree)
+        s1, a1 = single(fresh_state(), cams, targets, box, data.c,
+                        data.deltaT, vol)
+
+        state0 = fresh_state()
+        step = make_sharded_train_step(mesh, s, optim, tx, cfg.sh_degree,
+                                       state0)
+        state = shard_scene(state0, mesh)
+        state, aux = step(state, cams, targets, box, data.c, data.deltaT, vol)
+        assert np.isfinite(float(aux.loss))
+        assert not bool(aux.overflow)
+        np.testing.assert_allclose(float(a1.loss), float(aux.loss), rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(s1.scene.means), np.asarray(state.scene.means),
+            rtol=1e-3, atol=1e-6,
+        )
+
+
+class TestShardedDensify:
+    def test_matches_single_device(self, setup):
+        """GSPMD-partitioned densification must reproduce the single-chip
+        result exactly (global donor multinomial, cross-shard donor rows)."""
+        from nlos_gaussian_renderer_tpu.models.densify import densify_step
+        from nlos_gaussian_renderer_tpu.parallel.sharding import (
+            make_sharded_densify_step,
+        )
+
+        data, cfg, optim, scene, tx, settings, box = setup
+        import dataclasses
+
+        # Kill half the population so relocation has work to do, and leave
+        # dead capacity so growth has room.
+        rng = np.random.default_rng(3)
+        lo = np.array(scene.logit_opacities)
+        lo[::3] = -12.0  # opacity ~ 6e-6 <= dead threshold
+        scene = dataclasses.replace(scene, logit_opacities=jnp.asarray(lo))
+        alive = np.array(scene.alive)
+        alive[24:] = 0.0
+        scene = dataclasses.replace(scene, alive=jnp.asarray(alive))
+
+        key = jax.random.PRNGKey(11)
+        state = create_train_state(jax.tree.map(jnp.copy, scene), tx)
+        ref_scene, ref_opt = densify_step(
+            jax.tree.map(jnp.copy, scene), state.opt_state, key, cap_max=32
+        )
+
+        mesh = make_mesh([2, 4], ("scan", "gauss"))
+        state_sh = shard_scene(
+            create_train_state(jax.tree.map(jnp.copy, scene), tx), mesh
+        )
+        densify = make_sharded_densify_step(mesh, state_sh, cap_max=32)
+        got_scene, got_opt = densify(state_sh.scene, state_sh.opt_state, key)
+
+        for name in ("means", "log_scales", "quats", "logit_opacities",
+                     "sh_dc", "sh_rest", "alive"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got_scene, name)),
+                np.asarray(getattr(ref_scene, name)),
+                rtol=1e-6, atol=1e-7, err_msg=name,
+            )
+        # Output keeps the canonical gauss sharding.
+        spec = got_scene.means.sharding.spec
+        assert spec[0] == "gauss", spec
+        # Grown population is finite and at least as large.
+        assert float(jnp.sum(got_scene.alive)) >= float(jnp.sum(scene.alive))
 
 
 class TestShardedTrainingConverges:

@@ -31,7 +31,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--renderer", default="dense",
-                    choices=["dense", "pallas", "analytic"])
+                    choices=["dense", "pallas", "pallas_rsort", "analytic"])
     ap.add_argument("--gaussians", type=int, default=400)
     ap.add_argument("--out", default="./recon_out")
     ap.add_argument("--scan", type=int, default=12)
@@ -123,9 +123,23 @@ def main():
           f"(volume size {data.volume_size} m)")
 
     write_ply(os.path.join(args.out, "recon_cloud.ply"), cloud, normals=normals)
+    # Mesh quality side-by-side: raw iso-surface vs the reference-parity
+    # post-processing (crossing placement + 1%-quantile trim + Taubin
+    # smoothing, mirroring the Poisson pipeline `nlos_helpers.py:58-69`).
+    v_raw, f_raw = gaussian_to_mesh(
+        scene, data.volume_position, data.volume_size, resolution=48,
+        trim_quantile=None, smooth_iters=0,
+    )
     verts, faces = gaussian_to_mesh(
         scene, data.volume_position, data.volume_size, resolution=48
     )
+    sub = rng.choice(len(v_raw), min(len(v_raw), 3000), replace=False)
+    ch_raw = chamfer(v_raw[sub], gt_alive)
+    sub = rng.choice(len(verts), min(len(verts), 3000), replace=False)
+    ch_mesh = chamfer(verts[sub], gt_alive)
+    print(f"chamfer(mesh verts, GT centers): raw {ch_raw:.4f} m -> "
+          f"post-processed {ch_mesh:.4f} m")
+    write_ply(os.path.join(args.out, "recon_mesh_raw.ply"), v_raw, faces=f_raw)
     write_ply(os.path.join(args.out, "recon_mesh.ply"), verts, faces=faces)
     mid = args.scan * args.scan // 2
     save_histogram_figure(

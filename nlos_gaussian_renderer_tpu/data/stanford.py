@@ -26,6 +26,36 @@ from nlos_gaussian_renderer_tpu.data.zaragoza import NLOSData
 C_M_PER_S = 2.99792458e8
 
 
+def align_direct_bounce(
+    meas: np.ndarray, tofgrid: np.ndarray, bin_ps: float
+) -> np.ndarray:
+    """Shift each pixel's histogram so bin 0 is the wall's direct bounce.
+
+    Stanford captures ship a per-pixel 'tofgrid' (picoseconds to the wall
+    point and back); the standard LCT preprocessing left-shifts each pixel's
+    time axis by round(tofgrid / bin_ps) bins so all pixels share a time
+    origin at the wall. Vacated tail bins are zero-filled (the captures carry
+    no signal there).
+
+    Args:
+      meas: (T, M, N) time-first measurement volume.
+      tofgrid: (M, N) per-pixel time of flight in picoseconds.
+      bin_ps: time-bin width in picoseconds.
+    Returns:
+      (T, M, N) aligned volume.
+    """
+    t = meas.shape[0]
+    if tofgrid.shape != meas.shape[1:]:
+        raise ValueError(
+            f"tofgrid shape {tofgrid.shape} != scan grid {meas.shape[1:]}"
+        )
+    shifts = np.round(np.asarray(tofgrid, np.float64) / bin_ps).astype(np.int64)
+    idx = np.arange(t)[:, None, None] + shifts[None, :, :]  # (T, M, N)
+    valid = idx < t
+    gathered = np.take_along_axis(meas, np.clip(idx, 0, t - 1), axis=0)
+    return np.where(valid, gathered, 0.0).astype(meas.dtype)
+
+
 def load_stanford_data(
     path: str,
     wall_size: float = 2.0,
@@ -34,6 +64,7 @@ def load_stanford_data(
     volume_size: Optional[float] = None,
     downsample_t: int = 1,
     crop_t: Optional[int] = None,
+    use_tofgrid: bool = True,
 ) -> NLOSData:
     """Load a Stanford-style confocal .mat into NLOSData (c = 1 units).
 
@@ -46,6 +77,8 @@ def load_stanford_data(
       volume_size: hidden-volume edge length; default wall_size / 2.
       downsample_t: integrate groups of this many time bins.
       crop_t: keep only the first crop_t bins (after downsampling).
+      use_tofgrid: when the file carries a 'tofgrid', pre-align the direct
+        bounce (see `align_direct_bounce`).
     """
     import scipy.io as sio
 
@@ -65,6 +98,11 @@ def load_stanford_data(
     # Put time first: the time axis dominates in length.
     t_axis = int(np.argmax(meas.shape))
     meas = np.moveaxis(meas, t_axis, 0)  # (T, M, N)
+
+    if use_tofgrid and "tofgrid" in mat:
+        meas = align_direct_bounce(
+            meas, np.asarray(mat["tofgrid"], np.float64), bin_ps
+        )
 
     if downsample_t > 1:
         t = (meas.shape[0] // downsample_t) * downsample_t

@@ -184,6 +184,13 @@ def surface_nets_mesh(
     ) + np.asarray(origin)[None, :]
 
     tris = []
+    # Surface-nets vertex placement: accumulate the isosurface crossing
+    # points of each cell's edges; the vertex is their centroid (falls back
+    # to the cell center when a cell has in/out corners but no axis-aligned
+    # crossing edge touches it). This hugs the true isosurface instead of
+    # snapping to the dual-grid centers.
+    v_acc = np.zeros((len(sx), 3), dtype=np.float64)
+    v_cnt = np.zeros(len(sx), dtype=np.int64)
     # For each axis, faces between voxel pairs that cross the isosurface emit
     # a quad connecting the 4 surrounding surface cells.
     for ax in range(3):
@@ -192,6 +199,16 @@ def surface_nets_mesh(
         sl_hi[ax] = slice(1, r)
         cross = occ[tuple(sl_lo)] != occ[tuple(sl_hi)]  # (edges along ax)
         ex, ey, ez = np.nonzero(cross)
+        # Linear-interpolated crossing position along this edge.
+        g0 = grid[tuple(sl_lo)][ex, ey, ez]
+        g1 = grid[tuple(sl_hi)][ex, ey, ez]
+        t = np.clip((threshold - g0) / np.where(g1 != g0, g1 - g0, 1.0), 0, 1)
+        e_idx = [ex, ey, ez]
+        h_step = axis[1] - axis[0] if len(axis) > 1 else 1.0
+        cross_pt = np.stack(
+            [axis[e_idx[a]] + (t * h_step if a == ax else 0.0) for a in range(3)],
+            axis=-1,
+        )
         # The 4 cells sharing edge (ex,ey,ez)->(+1 along ax) vary over the two
         # other axes by -1/0.
         o1, o2 = [a for a in range(3) if a != ax]
@@ -207,6 +224,9 @@ def surface_nets_mesh(
                 vid = np.full(len(ex), -1, dtype=np.int64)
                 vid[valid] = cell_idx[c[0][valid], c[1][valid], c[2][valid]]
                 quads.append(vid)
+                good = vid >= 0
+                np.add.at(v_acc, vid[good], cross_pt[good])
+                np.add.at(v_cnt, vid[good], 1)
         q = np.stack(quads, axis=-1)  # (E, 4) order: (0,0),(0,-1),(-1,0),(-1,-1)
         ok = (q >= 0).all(axis=-1)
         q = q[ok]
@@ -216,7 +236,66 @@ def surface_nets_mesh(
         faces = np.concatenate(tris, axis=0).astype(np.int32)
     else:
         faces = np.zeros((0, 3), dtype=np.int32)
+    touched = v_cnt > 0
+    verts = verts.astype(np.float64)
+    verts[touched] = v_acc[touched] / v_cnt[touched, None] + np.asarray(origin)
     return verts.astype(np.float32), faces
+
+
+def trim_mesh_by_vertex_density(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    densities: np.ndarray,
+    quantile: float = 0.01,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop the lowest-density vertices and every face touching them.
+
+    The reference removes Poisson-reconstruction vertices below the 1%
+    support-density quantile (`nlos_helpers.py:62-67`); here the per-vertex
+    confidence is the scene density at the vertex, which prunes the same
+    low-support wisps from the iso-mesh.
+    """
+    if len(vertices) == 0:
+        return vertices, faces
+    thr = np.quantile(densities, quantile)
+    keep = densities >= thr
+    remap = -np.ones(len(vertices), dtype=np.int64)
+    remap[keep] = np.arange(int(keep.sum()))
+    fkeep = keep[faces].all(axis=1) if len(faces) else np.zeros(0, bool)
+    new_faces = remap[faces[fkeep]].astype(np.int32)
+    return vertices[keep], new_faces
+
+
+def taubin_smooth(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    iterations: int = 10,
+    lam: float = 0.5,
+    mu: float = -0.53,
+) -> np.ndarray:
+    """Taubin lambda/mu mesh smoothing (shrink-free Laplacian).
+
+    The smoothing role of the reference's Poisson reconstruction (which
+    inherently low-passes the surface); alternating positive/negative
+    umbrella steps smooths without the volume loss of plain Laplacian.
+    """
+    if len(faces) == 0 or len(vertices) == 0:
+        return vertices
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    v = vertices.astype(np.float64).copy()
+    deg = np.zeros(len(v))
+    np.add.at(deg, e[:, 0], 1.0)
+    np.add.at(deg, e[:, 1], 1.0)
+    has = deg > 0
+    for _ in range(iterations):
+        for f in (lam, mu):
+            acc = np.zeros_like(v)
+            np.add.at(acc, e[:, 0], v[e[:, 1]])
+            np.add.at(acc, e[:, 1], v[e[:, 0]])
+            avg = acc[has] / deg[has, None]
+            v[has] += f * (avg - v[has])
+    return v.astype(np.float32)
 
 
 def gaussian_to_mesh(
@@ -225,12 +304,28 @@ def gaussian_to_mesh(
     volume_size: float,
     resolution: int = 96,
     threshold: Optional[float] = None,
+    trim_quantile: Optional[float] = 0.01,
+    smooth_iters: int = 10,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Density grid -> surface-nets mesh (reference `gaussian2volume`
-    mode='mesh' tail end, minus the Poisson smoothing)."""
+    """Density grid -> surface-nets mesh, post-processed for parity with the
+    reference's Poisson pipeline (`gaussian2volume` mode='mesh',
+    `nlos_helpers.py:50-69`): crossing-point vertex placement, low-density
+    vertex trim (their 1% Poisson-density quantile), Taubin smoothing (their
+    Poisson low-pass). Pass trim_quantile=None / smooth_iters=0 for the raw
+    iso-surface."""
     grid, axis = density_grid(scene, volume_position, volume_size, resolution)
     thr = float(grid.mean()) if threshold is None else threshold
-    return surface_nets_mesh(grid, axis, np.asarray(volume_position), thr)
+    verts, faces = surface_nets_mesh(
+        grid, axis, np.asarray(volume_position), thr
+    )
+    if trim_quantile is not None and len(verts):
+        dens = eval_density(scene, jnp.asarray(verts))
+        verts, faces = trim_mesh_by_vertex_density(
+            verts, faces, dens, trim_quantile
+        )
+    if smooth_iters > 0:
+        verts = taubin_smooth(verts, faces, iterations=smooth_iters)
+    return verts, faces
 
 
 def write_ply(

@@ -207,6 +207,38 @@ class TestStanfordLoader:
         np.testing.assert_allclose(d.nlos_data, 4.0)
         assert d.deltaT == pytest.approx(4 * 32e-12 * 2.99792458e8, rel=1e-6)
 
+    def test_tofgrid_alignment(self, tmp_path):
+        """'tofgrid' pre-alignment: each pixel's histogram is left-shifted by
+        round(tofgrid / bin_ps) bins so bin 0 is the wall's direct bounce."""
+        import scipy.io as sio
+
+        from nlos_gaussian_renderer_tpu.data.stanford import load_stanford_data
+
+        rng = np.random.default_rng(1)
+        t, m, n = 128, 4, 4
+        base_bin = 40
+        shifts = rng.integers(0, 20, size=(m, n))
+        meas = np.zeros((m, n, t), np.float32)
+        for i in range(m):
+            for j in range(n):
+                meas[i, j, base_bin + shifts[i, j]] = 1.0
+        tofgrid = shifts * 32.0  # ps
+        p = str(tmp_path / "tof.mat")
+        sio.savemat(p, {"meas": meas, "tofgrid": tofgrid})
+
+        d = load_stanford_data(p, bin_ps=32.0)
+        # Every pixel's pulse lands back on base_bin.
+        peaks = d.nlos_data.argmax(axis=0)
+        np.testing.assert_array_equal(peaks, np.full((m, n), base_bin))
+        # Without alignment the pulses stay scattered.
+        d0 = load_stanford_data(p, bin_ps=32.0, use_tofgrid=False)
+        peaks0 = d0.nlos_data.argmax(axis=0)
+        np.testing.assert_array_equal(
+            peaks0, base_bin + shifts
+        )
+        # Energy is conserved (no wrap-around; vacated bins zero-filled).
+        assert d.nlos_data.sum() == pytest.approx(m * n)
+
     def test_trains_end_to_end(self, tmp_path):
         import scipy.io as sio
 

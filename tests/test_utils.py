@@ -170,6 +170,90 @@ class TestExport:
         assert f"element face {len(faces)}" in txt
 
 
+class TestMeshPostProcessing:
+    """Quality parity with the reference's Poisson pipeline
+    (`nlos_helpers.py:58-69`): crossing-point placement, quantile trim,
+    Taubin smoothing."""
+
+    def _sphere_grid(self, r=32, rad=0.3):
+        axis = np.linspace(-0.5, 0.5, r).astype(np.float32)
+        g = np.stack(np.meshgrid(axis, axis, axis, indexing="ij"), -1)
+        dist = np.linalg.norm(g, axis=-1)
+        return (rad - dist).astype(np.float32), axis
+
+    def test_vertices_hug_isosurface(self):
+        from nlos_gaussian_renderer_tpu.utils.export import surface_nets_mesh
+
+        grid, axis = self._sphere_grid()
+        verts, faces = surface_nets_mesh(grid, axis, np.zeros(3), 0.0)
+        assert len(verts) > 0 and len(faces) > 0
+        radii = np.linalg.norm(verts, axis=-1)
+        # Crossing-centroid placement keeps vertices within a small fraction
+        # of a cell of the true sphere (cell size ~ 1/31 = 0.032).
+        h = axis[1] - axis[0]
+        assert np.abs(radii - 0.3).max() < 0.8 * h, np.abs(radii - 0.3).max()
+        # And far tighter on average than cell-center snapping would be.
+        assert np.abs(radii - 0.3).mean() < 0.25 * h
+
+    def test_taubin_smooth_reduces_roughness_without_shrink(self):
+        from nlos_gaussian_renderer_tpu.utils.export import (
+            surface_nets_mesh,
+            taubin_smooth,
+        )
+
+        grid, axis = self._sphere_grid()
+        verts, faces = surface_nets_mesh(grid, axis, np.zeros(3), 0.0)
+        rng = np.random.default_rng(0)
+        rough = verts + rng.normal(0, 0.004, verts.shape).astype(np.float32)
+        sm = taubin_smooth(rough, faces, iterations=10)
+
+        def roughness(v):
+            return float(np.std(np.linalg.norm(v, axis=-1)))
+
+        assert roughness(sm) < 0.5 * roughness(rough)
+        # Shrink-free: mean radius preserved within 2%.
+        r0 = float(np.mean(np.linalg.norm(rough, axis=-1)))
+        r1 = float(np.mean(np.linalg.norm(sm, axis=-1)))
+        assert abs(r1 - r0) / r0 < 0.02
+
+    def test_quantile_trim_removes_low_density_wisp(self):
+        from nlos_gaussian_renderer_tpu.utils.export import (
+            trim_mesh_by_vertex_density,
+        )
+
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5], [6, 5, 5], [5, 6, 5]],
+            np.float32,
+        )
+        faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        dens = np.array([1.0, 1.0, 1.0, 0.01, 0.01, 0.01])
+        v2, f2 = trim_mesh_by_vertex_density(verts, faces, dens, quantile=0.5)
+        assert len(v2) == 3
+        assert len(f2) == 1
+        np.testing.assert_array_equal(f2[0], [0, 1, 2])
+        np.testing.assert_allclose(v2, verts[:3])
+
+    def test_gaussian_to_mesh_postprocessed(self):
+        from nlos_gaussian_renderer_tpu.utils.export import gaussian_to_mesh
+
+        rng = np.random.default_rng(2)
+        pts = rng.uniform(-0.15, 0.15, (12, 3)).astype(np.float32) + np.array(
+            [0, 1.0, 0], np.float32
+        )
+        scene = init_scene(
+            pts, rng.uniform(0.3, 0.8, (12, 1)).astype(np.float32),
+            [-0.3, 0.7, -0.3], [0.3, 1.3, 0.3], max_sh_degree=0,
+        )
+        v_raw, f_raw = gaussian_to_mesh(
+            scene, [0, 1.0, 0], 0.6, resolution=24, trim_quantile=None,
+            smooth_iters=0,
+        )
+        v_pp, f_pp = gaussian_to_mesh(scene, [0, 1.0, 0], 0.6, resolution=24)
+        assert len(v_pp) > 0 and len(f_pp) > 0
+        assert f_pp.max() < len(v_pp)
+        assert len(v_pp) <= len(v_raw)  # trim only removes
+
+
 class TestSphericalVolumeQuery:
     def test_reference_parity_query(self):
         import jax.numpy as jnp

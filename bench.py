@@ -120,8 +120,7 @@ def main():
         spec = tune_rsort_spec(
             scene, probe_cams, box, 32, 100, 300, c, delta_t
         )
-        log(f"auto-tuned rsort caps: k_ang={spec.k_ang} kb_max={spec.kb_max} "
-            f"j_span={spec.j_span}")
+        log(f"auto-tuned rsort caps: k_ang={spec.k_ang} w_max={spec.w_max}")
         settings = settings._replace(rsort_spec=spec)
     optim = OptimizationParams()
     tx = make_optimizer(optim)

@@ -296,7 +296,12 @@ def _take_rows_bwd(unique_per_tile, res, g):
         safe_idx = jnp.where(slot < counts[:, None], idx, n_rows + slot)
         buf = jnp.zeros((n_rows + k,) + tuple(tshape[1:]), g.dtype)
         for t in range(idx.shape[0]):
-            buf = buf.at[safe_idx[t]].add(g[t], unique_indices=True)
+            # Per-tile lists are ascending (top_k over the d-permuted mask)
+            # and the sentinels (n_rows + slot) extend that order, so the
+            # scatter can claim sorted+unique indices.
+            buf = buf.at[safe_idx[t]].add(
+                g[t], unique_indices=True, indices_are_sorted=True
+            )
         out = buf[:n_rows]
     else:
         out = (
@@ -482,9 +487,9 @@ def cull_tiles(
 # ---------------------------------------------------------------------------
 
 
-def tile_points(points: jax.Array, ns: int, num_r: int, spec: TileSpec,
+def tile_coords(points: jax.Array, ns: int, num_r: int, spec: TileSpec,
                 n_tt: int, n_pt: int, n_rt: int) -> jax.Array:
-    """(num_r, ns, ns, 3) world points -> (T, S, 10) per-tile monomials.
+    """(num_r, ns, ns, 3) world points -> (T, S, 3) per-tile sample coords.
 
     Tile order matches `cull_tiles` mask layout: (r_t, theta_t, phi_t); sample
     order within a tile is (r, theta, phi) — unpacked by `untile_field`.
@@ -496,8 +501,36 @@ def tile_points(points: jax.Array, ns: int, num_r: int, spec: TileSpec,
     pts = pts.reshape(
         n_rt, spec.t_r, n_tt, spec.t_theta, n_pt, spec.t_phi, 3
     ).transpose(0, 2, 4, 1, 3, 5, 6)
-    pts = pts.reshape(n_rt * n_tt * n_pt, spec.t_r * spec.t_theta * spec.t_phi, 3)
-    return gmath.point_monomials(pts)
+    return pts.reshape(
+        n_rt * n_tt * n_pt, spec.t_r * spec.t_theta * spec.t_phi, 3
+    )
+
+
+def tile_points(points: jax.Array, ns: int, num_r: int, spec: TileSpec,
+                n_tt: int, n_pt: int, n_rt: int) -> jax.Array:
+    """(num_r, ns, ns, 3) world points -> (T, S, 10) per-tile monomials."""
+    return gmath.point_monomials(
+        tile_coords(points, ns, num_r, spec, n_tt, n_pt, n_rt)
+    )
+
+
+def tile_points_centered(points: jax.Array, ns: int, num_r: int,
+                         spec: TileSpec, n_tt: int, n_pt: int, n_rt: int):
+    """Per-tile CENTERED monomials + tile centers.
+
+    Centering the quadratic-form evaluation at each tile's sample centroid
+    shrinks the term magnitudes by ~|x|/|x - x0| (meters -> tile extent),
+    which buys enough headroom that the Mahalanobis matmul can run as ONE
+    bf16 MXU pass (with an x3-style hi/lo split) instead of six f32-HIGHEST
+    passes — see `_rs_fwd_kernel`. The Gaussian-side transform to the
+    centered basis happens in-kernel (it depends on the tile).
+
+    Returns:
+      (xfeat (T, S, 10) centered monomials, centers (T, 3)).
+    """
+    pts = tile_coords(points, ns, num_r, spec, n_tt, n_pt, n_rt)
+    centers = jnp.mean(pts, axis=1)  # (T, 3)
+    return gmath.point_monomials(pts - centers[:, None, :]), centers
 
 
 def untile_field(out: jax.Array, ns: int, num_r: int, spec: TileSpec,

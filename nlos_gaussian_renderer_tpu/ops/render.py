@@ -339,10 +339,8 @@ def check_culling_capacity(
             "overflowed": bool(t.overflowed),
             "max_count": int(jnp.max(t.counts)),
             "k_ang": settings.rsort_spec.k_ang,
-            "max_n_blocks": int(jnp.max(t.n_blocks)),
-            "kb_max": settings.rsort_spec.kb_max,
-            "max_j_span": int(jnp.max(t.j_span_len)),
-            "j_span": settings.rsort_spec.j_span,
+            "n_items": int(t.n_items[0]),
+            "w_max": settings.rsort_spec.w_max,
         }
     if settings.backend == "pallas":
         t = cull_tiles(

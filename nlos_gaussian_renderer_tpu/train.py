@@ -310,8 +310,7 @@ def fit_culling_capacity(
         if grow_only:
             new = cur._replace(
                 k_ang=max(cur.k_ang, fitted.k_ang),
-                kb_max=max(cur.kb_max, fitted.kb_max),
-                j_span=max(cur.j_span, fitted.j_span),
+                w_max=max(cur.w_max, fitted.w_max),
             )
         else:
             new = fitted
@@ -460,7 +459,7 @@ def fit(
                 caps = settings.rsort_spec
                 print(
                     "culling capacities re-tuned: "
-                    f"k_ang={caps.k_ang} kb_max={caps.kb_max} j_span={caps.j_span}"
+                    f"k_ang={caps.k_ang} w_max={caps.w_max}"
                 )
             else:
                 print(

@@ -22,7 +22,7 @@ BOX = gmath.volume_box_points(VOL_POS, VOL_SIZE)
 CAM = jnp.array([0.05, 0.0, -0.1])
 
 SPEC = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=128, g_tile=32,
-                 kb_max=4, j_span=16)
+                 w_max=256)
 SETTINGS = RenderSettings(
     num_sampling_points=8, start=60, end=140, backend="pallas_rsort",
     rsort_spec=SPEC,
@@ -60,10 +60,13 @@ class TestRSortCull:
         )
         assert not bool(tiles.overflowed)
         rel = np.asarray(gmath.cartesian_to_spherical(scene.means - CAM))
-        ids = np.asarray(tiles.sorted_ids)
+        # sorted_ids live in the d-permuted space; map back to original ids.
+        ids = np.asarray(tiles.perm)[np.asarray(tiles.sorted_ids)]
         counts = np.asarray(tiles.counts)
-        sb = np.asarray(tiles.start_block)
-        nb = np.asarray(tiles.n_blocks)
+        n_items = int(tiles.n_items[0])
+        work = set(zip(np.asarray(tiles.fwd_t)[:n_items].tolist(),
+                       np.asarray(tiles.fwd_j)[:n_items].tolist(),
+                       np.asarray(tiles.fwd_b)[:n_items].tolist()))
         r = np.asarray(grid.r)
         theta, phi = np.asarray(grid.theta), np.asarray(grid.phi)
         n_ch = (80 + SPEC.t_chunk - 1) // SPEC.t_chunk
@@ -89,7 +92,7 @@ class TestRSortCull:
             assert g in lst, (g, t)
             pos = int(np.where(lst == g)[0][0])
             blk = pos // SPEC.g_tile
-            assert sb[t, j] <= blk < sb[t, j] + nb[t, j], (g, t, j)
+            assert (t, j, blk) in work, (g, t, j, blk)
 
     def test_sorted_by_distance(self):
         scene = make_scene(32, seed=2)
@@ -99,9 +102,10 @@ class TestRSortCull:
             grid.theta, grid.phi, grid.r, SPEC,
         )
         d = np.linalg.norm(np.asarray(scene.means) - np.asarray(CAM), axis=1)
+        perm = np.asarray(tiles.perm)
         for t in range(tiles.sorted_ids.shape[0]):
             n = int(tiles.counts[t])
-            ds = d[np.asarray(tiles.sorted_ids[t][:n])]
+            ds = d[perm[np.asarray(tiles.sorted_ids[t][:n])]]
             assert np.all(np.diff(ds) >= -1e-6)
 
 
@@ -154,7 +158,7 @@ class TestCullingCapacityDiagnostic:
         assert ok["backend"] == "pallas_rsort"
         assert not ok["overflowed"]
         tight = SETTINGS._replace(
-            rsort_spec=SPEC._replace(k_ang=32, kb_max=1, j_span=1)
+            rsort_spec=SPEC._replace(k_ang=32, w_max=2)
         )
         bad = check_culling_capacity(scene, CAM, BOX, C, DT, tight)
         assert bad["overflowed"]
@@ -220,7 +224,7 @@ class TestDegenerateFootprints:
             scene.means, scene.scales, scene.alive, CAM,
             grid.theta, grid.phi, grid.r, spec,
         )
-        ids = np.asarray(tiles.sorted_ids)
+        ids = np.asarray(tiles.perm)[np.asarray(tiles.sorted_ids)]
         counts = np.asarray(tiles.counts)
         for t in range(ids.shape[0]):
             assert 0 in ids[t][: counts[t]], f"tile {t} dropped the engulfing gaussian"

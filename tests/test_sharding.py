@@ -134,7 +134,7 @@ class TestShardedBackends:
         spec = TileSpec(t_theta=4, t_phi=8, t_r=16, k_max=64, a_sub=256,
                         g_tile=32)
         rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=64, g_tile=32,
-                          kb_max=4, j_span=16)
+                          w_max=128)
         s = settings._replace(backend=backend, occlusion=occ, tile_spec=spec,
                               rsort_spec=rspec)
         cam = jnp.asarray(data.camera_grid_positions[:, 3])
@@ -194,7 +194,7 @@ class TestShardedPallasTraining:
 
         data, cfg, optim, scene, tx, settings, box = setup
         rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=64, g_tile=32,
-                          kb_max=4, j_span=16)
+                          w_max=128)
         s = settings._replace(backend="pallas_rsort", rsort_spec=rspec)
         mesh = make_mesh([2, 4], ("scan", "gauss"))
         idx = np.arange(4)

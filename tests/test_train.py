@@ -322,8 +322,7 @@ class TestOverflowSafety:
         scene, tx, _, box = prepare_training(cfg, optim, tiny_data)
         # Deliberately tiny caps: 64 gaussians >> k_ang = 32.
         tiny_spec = RSortSpec(
-            t_theta=8, t_phi=16, t_chunk=8, k_ang=32, g_tile=32, kb_max=2,
-            j_span=2,
+            t_theta=8, t_phi=16, t_chunk=8, k_ang=32, g_tile=32, w_max=4,
         )
         settings = RenderSettings(
             num_sampling_points=8, start=cfg.start, end=cfg.end,

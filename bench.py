@@ -43,6 +43,13 @@ def main():
                     help="fit rsort capacities to the scene before timing")
     ap.add_argument("--no-auto-caps", dest="auto_caps", action="store_false")
     ap.add_argument("--sigma-max", type=float, default=0.012)
+    ap.add_argument("--t-theta", type=int, default=None)
+    ap.add_argument("--t-phi", type=int, default=None)
+    ap.add_argument("--t-chunk", type=int, default=None)
+    ap.add_argument("--g-tile", type=int, default=None)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop "
+                         "(analyze with tools/trace_report.py DIR --steps N)")
     args = ap.parse_args()
 
     import jax
@@ -112,15 +119,27 @@ def main():
         tile_spec=TileSpec(t_theta=8, t_phi=16, t_r=64, k_max=args.k_max),
     )
     if args.backend == "pallas_rsort" and args.auto_caps:
-        from nlos_gaussian_renderer_tpu.ops.fused_rsort import tune_rsort_spec
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+            RSortSpec,
+            tune_rsort_spec,
+        )
 
+        base = RSortSpec()
+        overrides = {
+            k: v for k, v in (
+                ("t_theta", args.t_theta), ("t_phi", args.t_phi),
+                ("t_chunk", args.t_chunk), ("g_tile", args.g_tile),
+            ) if v is not None
+        }
+        if overrides:
+            base = base._replace(**overrides)
         probe_cams = np.stack(
             [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
         ).astype(np.float32)
         spec = tune_rsort_spec(
-            scene, probe_cams, box, 32, 100, 300, c, delta_t
+            scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base
         )
-        log(f"auto-tuned rsort caps: k_ang={spec.k_ang} w_max={spec.w_max}")
+        log(f"auto-tuned rsort caps: max_groups={spec.max_groups} w_max={spec.w_max}")
         settings = settings._replace(rsort_spec=spec)
     optim = OptimizationParams()
     tx = make_optimizer(optim)
@@ -147,12 +166,19 @@ def main():
     jax.block_until_ready(state.scene.means)
     log(f"warmup done in {time.time()-t0:.1f}s; loss={float(aux.loss):.6f}")
 
+    import contextlib
+
+    trace_ctx = (
+        jax.profiler.trace(args.trace) if args.trace
+        else contextlib.nullcontext()
+    )
     t0 = time.time()
-    for i in range(args.warmup, args.warmup + args.iters):
-        state, aux = step(
-            state, cam_grid[idx[i]], targets, box, c, delta_t, vol
-        )
-    jax.block_until_ready(state.scene.means)
+    with trace_ctx:
+        for i in range(args.warmup, args.warmup + args.iters):
+            state, aux = step(
+                state, cam_grid[idx[i]], targets, box, c, delta_t, vol
+            )
+        jax.block_until_ready(state.scene.means)
     dt = time.time() - t0
     ms_per_iter = dt / args.iters * 1000.0 / args.batch
     assert np.isfinite(float(aux.loss))

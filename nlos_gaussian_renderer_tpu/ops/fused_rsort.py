@@ -1,45 +1,51 @@
-"""Distance-sorted, work-list-scheduled fused renderer (pallas backend v3,
+"""Group-sorted, work-list-scheduled fused renderer (pallas backend v4,
 'rsort').
 
-The (theta, phi, r)-tile culling of `ops/fused.py` pays for radial selectivity
-with a top_k over (n_tiles x G) and coarse 64-bin radial tiles. This variant
-exploits a structural fact: a Gaussian's radial footprint is an *interval*
-[d - rho, d + rho] around its camera distance d. Three scheduling choices make
-it fast on TPU (all three were measured, not guessed — see docs/DESIGN.md):
+The v3 design (global d-presort + per-tile top_k lists) spent 8.3 ms/step of
+its 25.7 ms at 100k Gaussians moving rows: a 2.1 ms per-tile table gather
+forward and a 6.2 ms scatter-add of per-tile-list gradients back to the
+population. v4 removes BOTH by making the per-tile work blocks index straight
+into ONE global table (this file replaces the reference's per-ray CUDA
+pipeline `submodules/cuda-renderer/cuda/volume_renderer.cu:16-185` +
+`ray_aabb.cu:10-61`; behavioral provenance only):
 
-  1. **Global d-presort.** The whole population is argsorted by camera
-     distance ONCE, and the per-angular-tile compaction (top_k over the
-     permuted mask) then yields lists that are d-sorted for free — top_k
-     returns indices ascending, and ascending permuted index IS ascending d.
-     The naive formulation (per-tile gather of d, per-tile argsort,
-     take_along_axis of ids/slots/radii) cost ~18 ms/step at 100k Gaussians:
-     TPU row-gathers are row-count-bound (~8 ns/row regardless of width), and
-     the padded per-tile lists are ~5x the population. After the presort the
-     only large gather left is the single fused table gather.
-  2. **Per-block radial intervals.** Block b of a tile's d-sorted list covers
-     [d_first - rho_max, d_last + rho_max] (tile-level conservative radius);
-     block/chunk overlap is an interval test — no searchsorted, and the block
-     d-bounds come from two tiny strided gathers.
-  3. **Work-list scheduling.** Surviving (tile, chunk, block) triples are
-     compacted into a flat list driving a 1-D Pallas grid with
-     scalar-prefetched coordinates. A dense (tile, chunk, capacity) grid is
-     >90% empty steps at static worst-case caps and Mosaic's per-step cost
-     made the kernels grid-bound (measured 33 ms vs 10 ms at 5k from empty
-     blocks; 18k/40k-step grids for ~1.5k real items at 100k). The forward
-     list is sorted by output tile (consecutive output revisits, elided
-     sample-block DMAs); the backward list is the same items sorted by
-     Gaussian block.
+  1. **(pattern, d) sort.** Each Gaussian's angular-tile membership is a
+     T_ang-bit pattern (a rectangle of tiles — its theta/phi footprint is an
+     interval on each axis, so there are few distinct patterns in practice).
+     The population is sorted ONCE by (pattern, camera distance). Members of
+     any tile then form a handful of contiguous, d-sorted runs of the global
+     order — per-tile lists stop existing as data.
+  2. **Block-aligned groups.** Each pattern group is padded to a multiple of
+     `g_tile`, so every Gaussian block is pattern-pure and d-contiguous:
+     its radial footprint for a tile is the exact interval union
+     [min(d_i - rho_i), max(d_i + rho_i)] over members — strictly tighter
+     than v3's per-tile rho_max inflation (one fat Gaussian no longer bloats
+     every chunk range of a dense tile). Groups beyond `max_groups` are
+     merged — merged blocks are impure but still CORRECT (membership bits
+     and intervals are exact per block); they just schedule more work items.
+  3. **Work-list scheduling** (unchanged from v3): surviving
+     (tile, chunk, block) triples drive a 1-D Pallas grid via scalar
+     prefetch. The forward list is sorted by output tile (consecutive output
+     revisits, elided sample-block DMAs); the backward list is sorted by
+     GLOBAL Gaussian block — so the backward kernel accumulates gradients
+     directly into global-layout blocks. The gradient "scatter-back" is now
+     one cheap inverse-permutation gather.
 
-The kernels evaluate the Mahalanobis quadratic form **centered at each tile's
-sample centroid** so the MXU contraction runs in bf16 with an x3-style hi/lo
-split — one MXU pass instead of six f32-HIGHEST passes (the uncentered form
-needs ~15 more mantissa bits than bf16x3 carries; centering shrinks the
-cancellation ratio from ~3e4 to ~3e3, and the hi/hi + hi/lo + lo/hi split
-rides along K=30 <= 128 inside the SAME padded pass for free).
+Per-Gaussian tile membership rides into the kernel as packed 24-bit pattern
+words (extra float32 table columns — exact for ints < 2^24); the kernel
+extracts the current tile's bit on the VPU. Padding slots and dead Gaussians
+carry pattern 0, so slot-validity masking comes free from the same bit.
+
+The kernels evaluate the Mahalanobis quadratic form **centered at each
+tile's sample centroid** so the MXU contraction runs in bf16 with an
+x3-style hi/lo split — one MXU pass instead of six f32-HIGHEST passes (the
+uncentered form needs ~15 more mantissa bits than bf16x3 carries; centering
+shrinks the cancellation ratio from ~3e4 to ~3e3, and the hi/hi + hi/lo +
+lo/hi split rides along K=30 <= 128 inside the SAME padded pass for free).
 
 Block-rounding only ever ADDS sub-cutoff Gaussians (their pdf at the chunk's
 samples is below the sigma_cull tail) — never drops one, so the result is a
-(slightly more accurate) superset of the tile path's sum.
+(slightly more accurate) superset of the dense path's per-shell sum.
 """
 
 from __future__ import annotations
@@ -56,11 +62,14 @@ from nlos_gaussian_renderer_tpu.ops import math as gmath
 from nlos_gaussian_renderer_tpu.ops.fused import (
     FDIM,
     _interpret_default,
-    take_rows,
     tile_grid_dims,
     tile_points_centered,
     untile_field,
 )
+
+# Bits per packed pattern word: float32 represents integers exactly up to
+# 2^24, and the in-kernel bit extraction runs on floats.
+_WORD_BITS = 24
 
 
 class RSortSpec(NamedTuple):
@@ -69,32 +78,42 @@ class RSortSpec(NamedTuple):
     t_theta: int = 8
     t_phi: int = 16
     t_chunk: int = 8  # radial bins per chunk
-    k_ang: int = 49152  # per-angular-tile Gaussian capacity
     g_tile: int = 256
     w_max: int = 4096  # work-list capacity: (tile, chunk, block) triples
+    max_groups: int = 64  # pattern-group capacity (excess groups merge)
     sigma_cull: float = 3.0
     margin: float = 1.1
 
 
 class RSortTiles(NamedTuple):
-    perm: jax.Array  # (G,) int32 global d-ascending permutation
-    inv_perm: jax.Array  # (G,) int32 its inverse
-    sorted_ids: jax.Array  # (T_ang, k_ang) int32 PERMUTED ids, d-ascending
-    counts: jax.Array  # (T_ang,) int32
+    """Cull result: a block-aligned (pattern, d)-sorted global layout plus
+    flat work lists. All-array pytree (jit-safe)."""
+
+    full_perm: jax.Array  # (G_pad,) int32 padded slot -> original row
+    inv_perm: jax.Array  # (G,) int32 original row -> padded slot (G_pad = culled)
+    words: jax.Array  # (G_pad, P) int32 packed membership patterns
+    counts: jax.Array  # (T_ang,) int32 per-tile member counts (diagnostics)
     # Flat work list, forward order (sorted by tile, chunk, block):
     fwd_t: jax.Array  # (W,) int32 angular tile
     fwd_j: jax.Array  # (W,) int32 radial chunk
-    fwd_b: jax.Array  # (W,) int32 gaussian block
-    fwd_first: jax.Array  # (W,) int32 1 when this item starts a new out tile
-    # Same items, backward order (sorted by tile, block, chunk):
+    fwd_b: jax.Array  # (W,) int32 GLOBAL gaussian block
+    fwd_first: jax.Array  # (W,) 1 when this item starts a new output tile
+    # Same items, backward order (sorted by block, tile, chunk):
     bwd_t: jax.Array  # (W,) int32
     bwd_j: jax.Array  # (W,) int32
     bwd_b: jax.Array  # (W,) int32
-    bwd_first: jax.Array  # (W,) int32 1 when this item starts a new (t, b)
+    bwd_first: jax.Array  # (W,) 1 when this item starts a new global block
     n_items: jax.Array  # (1,) int32 valid work items
     tile_has_work: jax.Array  # (T_ang, n_ch) bool
-    blk_has_work: jax.Array  # (T_ang, KB) bool
-    overflowed: jax.Array  # () bool
+    blk_has_work: jax.Array  # (KB,) bool
+    n_groups: jax.Array  # () int32 observed pattern groups (diagnostics)
+    overflowed: jax.Array  # () bool — work list truncated
+
+
+def _padded_rows(g: int, spec: RSortSpec) -> int:
+    """Static padded population: every pattern group block-aligns, so the
+    worst case is the exact row count plus one partial block per group."""
+    return pl.cdiv(g, spec.g_tile) * spec.g_tile + spec.max_groups * spec.g_tile
 
 
 def rsort_cull(
@@ -150,56 +169,114 @@ def rsort_cull(
     mask = (
         m_th[:, :, None] & m_ph[:, None, :] & in_window[:, None, None]
     ).reshape(g, t_ang)
+    counts = jnp.sum(mask.astype(jnp.int32), axis=0)  # (T_ang,) diagnostics
 
-    raw_counts = jnp.sum(mask.astype(jnp.int32), axis=0)  # (T_ang,)
-    # Per-tile conservative footprint radius (original order; masked max).
-    rho_max = jnp.max(
-        jnp.where(mask, radius[:, None], 0.0), axis=0
-    )  # (T_ang,)
+    # Pack tile membership into 24-bit words (float32-exact in the kernel).
+    n_words = pl.cdiv(t_ang, _WORD_BITS)
+    bits_pad = jnp.pad(
+        mask.astype(jnp.int32), ((0, 0), (0, n_words * _WORD_BITS - t_ang))
+    ).reshape(g, n_words, _WORD_BITS)
+    words = jnp.sum(
+        bits_pad << jnp.arange(_WORD_BITS, dtype=jnp.int32)[None, None, :],
+        axis=-1,
+    )  # (G, P)
 
-    # Global d-ascending presort (see module docstring, point 1).
-    perm = jnp.argsort(d).astype(jnp.int32)
+    # --- (pattern, d) sort; empty patterns (dead / out of window) last ------
+    empty = ~jnp.any(mask, axis=1)
+    key0 = jnp.where(empty, jnp.int32(1 << _WORD_BITS), words[:, 0])
+    sort_ops = (
+        (key0,)
+        + tuple(words[:, p] for p in range(1, n_words))
+        + (d, jnp.arange(g, dtype=jnp.int32))
+    )
+    sorted_ops = jax.lax.sort(sort_ops, num_keys=n_words + 1)
+    perm = sorted_ops[-1]  # (G,) sorted row -> original row
+    # Validity comes from the sentinel in the sorted key itself (a gather of
+    # `empty[perm]` costs a row-bound 0.7 ms at 100k; this is free).
+    valid_s = sorted_ops[0] < (1 << _WORD_BITS)
+    words_s = jnp.stack(
+        [jnp.where(valid_s, sorted_ops[0], 0)]
+        + [sorted_ops[p] for p in range(1, n_words)],
+        axis=1,
+    )  # (G, P) with empty rows zeroed
+
+    # --- block-aligned group layout -----------------------------------------
+    iota = jnp.arange(g, dtype=jnp.int32)
+    change = jnp.concatenate(
+        [
+            jnp.zeros((1,), bool),
+            jnp.any(words_s[1:] != words_s[:-1], axis=1),
+        ]
+    )
+    raw_gid = jnp.cumsum(change.astype(jnp.int32))
+    n_groups = jnp.max(jnp.where(valid_s, raw_gid, -1)) + 1
+    gid = jnp.minimum(raw_gid, spec.max_groups - 1)
+    # Position within the (possibly merged) effective group.
+    eff_change = jnp.concatenate(
+        [jnp.zeros((1,), bool), gid[1:] != gid[:-1]]
+    )
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(eff_change, iota, 0)
+    )
+    pos = iota - seg_start
+    # Per-group valid counts WITHOUT a segment_sum (whose scatter costs
+    # ~0.9 ms at 100k): gid is ascending, so counts are searchsorted deltas,
+    # clipped to the valid prefix.
+    n_valid = jnp.sum(valid_s.astype(jnp.int32))
+    group_ids = jnp.arange(spec.max_groups, dtype=jnp.int32)
+    right = jnp.minimum(
+        jnp.searchsorted(gid, group_ids, side="right"), n_valid
+    )
+    left = jnp.minimum(
+        jnp.searchsorted(gid, group_ids, side="left"), n_valid
+    )
+    cnt_g = (right - left).astype(jnp.int32)
+    padded_g = pl.cdiv(cnt_g, spec.g_tile) * spec.g_tile
+    start_g = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_g)[:-1]]
+    )
+
+    g_pad = _padded_rows(g, spec)
+    # start_g[gid] as a one-hot f32 matmul: a row-bound table gather costs
+    # ~0.7 ms at 100k, the MXU pass is ~none. Starts are < 2^24: f32-exact.
+    onehot = (gid[:, None] == group_ids[None, :]).astype(jnp.float32)
+    start_row = jax.lax.dot_general(
+        onehot, start_g.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+    dest = jnp.where(valid_s, start_row + pos, g_pad)
+    # ONE fused scatter for (perm | pattern words): scatters are row-bound,
+    # width is free.
+    sc_vals = jnp.concatenate([perm[:, None], words_s], axis=1)
+    scat = (
+        jnp.zeros((g_pad, 1 + n_words), jnp.int32)
+        .at[dest]
+        .set(sc_vals, mode="drop")
+    )
+    full_perm = scat[:, 0]
+    words_pad = scat[:, 1:]
+    # Culled rows map to the sentinel slot g_pad (a zero gradient row).
     inv_perm = (
-        jnp.zeros((g,), jnp.int32).at[perm].set(
-            jnp.arange(g, dtype=jnp.int32), unique_indices=True
-        )
+        jnp.full((g,), g_pad, jnp.int32)
+        .at[perm]
+        .set(jnp.where(valid_s, dest, g_pad))
     )
-    d_perm = d[perm]
-    mask_perm = mask[perm]
 
-    # Effective capacity scales with the population (static): padding the
-    # lists to a fixed large k_ang would make small scenes iterate hundreds
-    # of empty blocks (measured 33 ms vs 10 ms at 5k Gaussians).
-    k_eff = min(spec.k_ang, pl.cdiv(g, spec.g_tile) * spec.g_tile)
-    k_cap = min(k_eff, g)
-    # top_k over the permuted mask: per tile, indices of set bits ascending —
-    # i.e. d-ascending, already sorted. No per-tile argsort/gathers needed.
-    _, idx = jax.lax.top_k(mask_perm.astype(jnp.float32).T, k_cap)
-    if k_cap < k_eff:
-        idx = jnp.pad(idx, ((0, 0), (0, k_eff - k_cap)))
-    idx = idx.astype(jnp.int32)
-    counts = jnp.minimum(raw_counts, k_eff)
-
-    # Per-block radial intervals from the block's first/last valid member
-    # (d-ascending within each tile list) +- the tile's rho_max.
-    kb_total = k_eff // spec.g_tile
-    blk = jnp.arange(kb_total)
-    first_slot = blk * spec.g_tile  # (KB,)
-    last_valid = jnp.clip(
-        counts[:, None] - 1, first_slot[None, :],
-        first_slot[None, :] + spec.g_tile - 1,
-    )  # (T, KB)
-    ids_first = jnp.take_along_axis(
-        idx, jnp.broadcast_to(first_slot[None, :], last_valid.shape), axis=1
-    )
-    ids_last = jnp.take_along_axis(idx, last_valid, axis=1)
-    blk_valid = first_slot[None, :] < counts[:, None]  # (T, KB)
-    blk_lo = jnp.where(
-        blk_valid, d_perm[ids_first] - rho_max[:, None], jnp.inf
-    )
-    blk_hi = jnp.where(
-        blk_valid, d_perm[ids_last] + rho_max[:, None], -jnp.inf
-    )
+    # --- per-(block, tile) exact radial footprint unions --------------------
+    kb = g_pad // spec.g_tile
+    memb = (
+        (words_pad[:, :, None] >> jnp.arange(_WORD_BITS, dtype=jnp.int32)) & 1
+    ).reshape(g_pad, n_words * _WORD_BITS)[:, :t_ang].astype(bool)
+    # One row gather for both interval ends (two scalar gathers in lane-major
+    # layout cost 0.7 ms EACH at 100k; a (G, 2) row gather is ~0.2 ms).
+    ends = jnp.stack([d - radius, d + radius], axis=1)[full_perm]
+    lo = ends[:, 0].reshape(kb, spec.g_tile)
+    hi = ends[:, 1].reshape(kb, spec.g_tile)
+    memb3 = memb.reshape(kb, spec.g_tile, t_ang)
+    blk_lo = jnp.min(
+        jnp.where(memb3, lo[:, :, None], jnp.inf), axis=1
+    )  # (KB, T)
+    blk_hi = jnp.max(jnp.where(memb3, hi[:, :, None], -jnp.inf), axis=1)
 
     # Radial chunk edges over the padded bin range.
     dr = r[1] - r[0]
@@ -209,52 +286,83 @@ def rsort_cull(
     chunk_hi = chunk_lo + spec.t_chunk * dr
     chunk_hi = jnp.minimum(chunk_hi, r_hi_pad + 0.5 * dr)
 
-    # (T, KB, n_ch): block b contributes to chunk j iff intervals overlap.
-    needed = (blk_lo[:, :, None] <= chunk_hi[None, None, :]) & (
-        blk_hi[:, :, None] >= chunk_lo[None, None, :]
+    # Chunk ranges per (block, tile): block b overlaps chunks
+    # [j_lo, j_hi] — contiguous because footprints are intervals. Empty
+    # (block, tile) pairs get j_lo = n_ch, j_hi = n_ch - 1 (count 0).
+    j_lo = jnp.searchsorted(chunk_hi, blk_lo, side="left").astype(jnp.int32)
+    j_hi = (
+        jnp.searchsorted(chunk_lo, blk_hi, side="right").astype(jnp.int32) - 1
     )
+    nch_bt = jnp.maximum(j_hi - j_lo + 1, 0)  # (KB, T)
+    n_items = jnp.sum(nch_bt)
 
-    # Flat work lists (see module docstring). argsort of the negated mask is
-    # stable, so list positions are the set bits in ascending flat order.
-    def work_list(mask_flat, w):
-        pos = jnp.argsort(
-            jnp.logical_not(mask_flat), stable=True
-        )[:w].astype(jnp.int32)
-        return pos
-
+    # --- work lists by prefix-sum expansion (no large sorts) ----------------
+    # Pairs in (block, tile) order; each expands to its chunk range. The
+    # expansion IS the backward order (block-major: consecutive revisits of
+    # each global block). The forward order is a small argsort of the W
+    # expanded items (W ~ thousands, not KB*T*n_ch).
     w = spec.w_max
-    n_items = jnp.sum(needed.astype(jnp.int32))
-    # forward order: (t, j, b)
-    pos_f = work_list(needed.transpose(0, 2, 1).reshape(-1), w)
-    fwd_t = pos_f // (n_ch * kb_total)
-    fwd_j = (pos_f // kb_total) % n_ch
-    fwd_b = pos_f % kb_total
+    nch_flat = nch_bt.reshape(-1)  # (KB*T,)
+    off_flat = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nch_flat)[:-1]]
+    )
+    pair_ids = jnp.arange(nch_flat.shape[0], dtype=jnp.int32)
+    slot_of = jnp.where(nch_flat > 0, off_flat, w)
+    pair_at = (
+        jnp.zeros((w,), jnp.int32)
+        .at[slot_of]
+        .max(pair_ids, mode="drop")
+    )
+    # Fill: every slot belongs to the latest pair started at or before it
+    # (pair starts are scattered in ascending slot AND pair order).
+    pair_slot = jax.lax.associative_scan(jnp.maximum, pair_at)  # (W,)
+    off_w = off_flat[pair_slot]
+    jlo_w = j_lo.reshape(-1)[pair_slot]
+    bwd_b = pair_slot // t_ang
+    bwd_t = pair_slot % t_ang
+    # Clip: on work-list overflow the tail slots extend the last scattered
+    # pair past its range; the render is wrong (and flagged) either way, but
+    # the chunk index must stay in-bounds for the DMA index maps.
+    bwd_j = jnp.clip(
+        jlo_w + (jnp.arange(w, dtype=jnp.int32) - off_w), 0, n_ch - 1
+    )
+    bwd_first = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            (bwd_b[1:] != bwd_b[:-1]).astype(jnp.int32),
+        ]
+    )
+    # forward order: (t, j, b) — argsort of W keys (invalid items last).
+    live = jnp.arange(w, dtype=jnp.int32) < n_items
+    fkey = jnp.where(
+        live, (bwd_t * n_ch + bwd_j) * kb + bwd_b, jnp.iinfo(jnp.int32).max
+    )
+    f_ord = jnp.argsort(fkey).astype(jnp.int32)
+    fwd_t = bwd_t[f_ord]
+    fwd_j = bwd_j[f_ord]
+    fwd_b = bwd_b[f_ord]
     out_f = fwd_t * n_ch + fwd_j
     fwd_first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (out_f[1:] != out_f[:-1]).astype(jnp.int32)]
     )
-    # backward order: (t, b, j)
-    pos_b = work_list(needed.reshape(-1), w)
-    bwd_t = pos_b // (kb_total * n_ch)
-    bwd_b = (pos_b // n_ch) % kb_total
-    bwd_j = pos_b % n_ch
-    out_b = bwd_t * kb_total + bwd_b
-    bwd_first = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32), (out_b[1:] != out_b[:-1]).astype(jnp.int32)]
-    )
 
-    overflow = jnp.any(raw_counts > k_eff) | (n_items > w)
+    # Output masking helpers (dense reduces; never sorted or scattered).
+    j_grid = jnp.arange(n_ch, dtype=jnp.int32)
+    covers = (j_grid[None, None, :] >= j_lo[:, :, None]) & (
+        j_grid[None, None, :] <= j_hi[:, :, None]
+    )  # (KB, T, n_ch)
     return RSortTiles(
-        perm=perm,
+        full_perm=full_perm,
         inv_perm=inv_perm,
-        sorted_ids=idx,
+        words=words_pad,
         counts=counts,
         fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
         bwd_t=bwd_t, bwd_j=bwd_j, bwd_b=bwd_b, bwd_first=bwd_first,
         n_items=jnp.minimum(n_items, w).reshape(1),
-        tile_has_work=jnp.any(needed, axis=1),  # (T, n_ch)
-        blk_has_work=jnp.any(needed, axis=2),  # (T, KB)
-        overflowed=overflow,
+        tile_has_work=jnp.any(covers, axis=0),  # (T, n_ch)
+        blk_has_work=jnp.any(nch_bt > 0, axis=1),  # (KB,)
+        n_groups=n_groups,
+        overflowed=n_items > w,
     )
 
 
@@ -335,16 +443,24 @@ def _maha_centered_bf16(x_hi, x_lo, gp):
     return _bf16_dot(xcat, gcat, ((1,), (1,)))
 
 
-def _slot_mask(bb, cnt_t, g_tile):
-    """(1, K) validity of this Gaussian block's slots (block bb of the
-    per-tile list; slots >= counts[t] are top_k padding)."""
-    base = bb * g_tile
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, g_tile), 1) + base
-    return (col < cnt_t).astype(jnp.float32)
+def _member_bits(words, t):
+    """(K,) {0,1} float mask: bit `t` of each row's packed pattern.
+
+    `words` is (K, P) float32 holding exact 24-bit integers; `t` is a traced
+    tile id. floor/mod arithmetic on floats — exact below 2^24.
+    """
+    n_words = words.shape[1]
+    tw = t // _WORD_BITS
+    tb = (t - tw * _WORD_BITS).astype(jnp.float32)
+    sel = words[:, 0]
+    for p in range(1, n_words):
+        sel = jnp.where(tw == p, words[:, p], sel)
+    q = jnp.floor(sel * jnp.exp2(-tb))
+    return q - 2.0 * jnp.floor(0.5 * q)
 
 
-def _rs_fwd_kernel(ft, fj, fb, first, cnt, counts, cx, x_ref, gw_ref, out_ref,
-                   *, t_ang, n_c):
+def _rs_fwd_kernel(ft, fj, fb, first, cnt, cx, x_ref, gw_ref, out_ref,
+                   *, t_ang, n_c, n_words):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -358,18 +474,18 @@ def _rs_fwd_kernel(ft, fj, fb, first, cnt, counts, cx, x_ref, gw_ref, out_ref,
         x0, y0, z0 = cx[tile, 0], cx[tile, 1], cx[tile, 2]
         gw = gw_ref[0]
         gp = _center_transform(gw[:, :FDIM], x0, y0, z0)
-        smask = _slot_mask(fb[i], counts[ft[i]], gw.shape[0])
+        smask = _member_bits(gw[:, FDIM + n_c:], ft[i])
         m = _maha_centered_bf16(
             x_ref[0][:, :FDIM], x_ref[0][:, FDIM:], gp
         )
         p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
         for c in range(n_c):
-            w = gw[:, FDIM + c] * smask[0]
+            w = gw[:, FDIM + c] * smask
             out_ref[0, :, c] += jnp.sum(p * w[None, :], axis=1)
 
 
-def _rs_bwd_kernel(bt, bj, bb, first, cnt, counts, cx, x_ref, gw_ref, go_ref,
-                   dgw_ref, *, t_ang, n_c):
+def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
+                   dgw_ref, *, t_ang, n_c, n_words):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -385,7 +501,7 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, counts, cx, x_ref, gw_ref, go_ref,
         gp = _center_transform(gw[:, :FDIM], x0, y0, z0)
         x_hi = x_ref[0][:, :FDIM]
         x_lo = x_ref[0][:, FDIM:]
-        smask = _slot_mask(bb[i], counts[bt[i]], gw.shape[0])[0]
+        smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
         m = _maha_centered_bf16(x_hi, x_lo, gp)
         p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
         # dw[k, c] = sum_a p[a, k] go[a, c] — MXU (M = 2C pads to 8 sublanes)
@@ -413,27 +529,27 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, counts, cx, x_ref, gw_ref, go_ref,
             dm_lo, x_hi, ((0,), (0,))
         )
         dg = _center_transform_t(dgp, x0, y0, z0)
-        dgw_ref[0] += jnp.concatenate([dg, dw.T], axis=1)
+        zero_pat = jnp.zeros((dg.shape[0], n_words), jnp.float32)
+        dgw_ref[0] += jnp.concatenate([dg, dw.T, zero_pat], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
 def rsort_field(
     xfeat,  # (n_tiles_total, S, 20) CENTERED monomials, bf16 [hi | lo]
     centers,  # (n_tiles_total, 3) tile centers
-    gw_sorted,  # (T_ang, k_ang, 10 + C) gathered forms+weights (orig basis)
-    counts,  # (T_ang,) valid slots per tile (w-masking happens in-kernel)
+    table,  # (KB, g_tile, 10 + C + P) global layout: forms|weights|patterns
     fwd_t, fwd_j, fwd_b, fwd_first,  # (W,) forward work list
     bwd_t, bwd_j, bwd_b, bwd_first,  # (W,) backward work list
     n_items,  # (1,) int32
     tile_has_work,  # (T_ang, n_ch)
-    blk_has_work,  # (T_ang, KB)
+    blk_has_work,  # (KB,)
     spec: RSortSpec = RSortSpec(),
-    dims: Tuple[int, int, int] = (4, 2, 25),  # (n_tt, n_pt, n_ch)
+    dims: Tuple[int, int, int, int] = (4, 2, 25, 1),  # (n_tt, n_pt, n_ch, P)
     interpret: Optional[bool] = None,
 ):
     """out (n_tiles_total, S, C) = per-chunk field sums (work-list-sparse)."""
     return _rsort_fwd_impl(
-        xfeat, centers, gw_sorted, counts, fwd_t, fwd_j, fwd_b, fwd_first,
+        xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
         n_items, tile_has_work, spec, dims, interpret,
     )
 
@@ -447,42 +563,44 @@ def _tile_id_map(n_tt, n_pt):
     return f
 
 
-def _rsort_fwd_impl(xfeat, centers, gw_sorted, counts, fwd_t, fwd_j, fwd_b,
+def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
                     fwd_first, n_items, tile_has_work, spec, dims, interpret):
-    n_tt, n_pt, n_ch = dims
+    n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
     s = xfeat.shape[1]
-    c = gw_sorted.shape[-1] - FDIM
+    c = table.shape[-1] - FDIM - n_words
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_tt, n_pt)
 
     def ie(i, cnt):
         return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
 
-    def x_map(i, ft, fj, fb, first, cnt, counts_r, cx):
+    def x_map(i, ft, fj, fb, first, cnt, cx):
         k = ie(i, cnt)
         return (tid(ft[k], fj[k]), 0, 0)
 
-    def g_map(i, ft, fj, fb, first, cnt, counts_r, cx):
+    def g_map(i, ft, fj, fb, first, cnt, cx):
         k = ie(i, cnt)
-        return (ft[k], fb[k], 0)
+        return (fb[k], 0, 0)
 
     out = pl.pallas_call(
-        functools.partial(_rs_fwd_kernel, t_ang=t_ang, n_c=c),
+        functools.partial(
+            _rs_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=6,
             grid=(spec.w_max,),
             in_specs=[
                 pl.BlockSpec((1, s, 2 * FDIM), x_map),
-                pl.BlockSpec((1, spec.g_tile, FDIM + c), g_map),
+                pl.BlockSpec((1, spec.g_tile, table.shape[-1]), g_map),
             ],
             out_specs=pl.BlockSpec((1, s, c), x_map),
         ),
         out_shape=jax.ShapeDtypeStruct((xfeat.shape[0], s, c), jnp.float32),
         interpret=interp,
     )(
-        fwd_t, fwd_j, fwd_b, fwd_first, n_items, counts, centers,
-        xfeat, gw_sorted,
+        fwd_t, fwd_j, fwd_b, fwd_first, n_items, centers,
+        xfeat, table,
     )
     # Tiles with no work items are never visited by the kernel: their output
     # blocks are uninitialized memory. Mask them to exact zeros (NaN-safe).
@@ -493,83 +611,94 @@ def _rsort_fwd_impl(xfeat, centers, gw_sorted, counts, fwd_t, fwd_j, fwd_b,
     return jnp.where(has[:, None, None], out, 0.0)
 
 
-def _rsort_vjp_fwd(xfeat, centers, gw_sorted, counts, fwd_t, fwd_j, fwd_b,
+def _rsort_vjp_fwd(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
                    fwd_first, bwd_t, bwd_j, bwd_b, bwd_first, n_items,
                    tile_has_work, blk_has_work, spec, dims, interpret):
     out = _rsort_fwd_impl(
-        xfeat, centers, gw_sorted, counts, fwd_t, fwd_j, fwd_b, fwd_first,
+        xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
         n_items, tile_has_work, spec, dims, interpret,
     )
-    return out, (xfeat, centers, gw_sorted, counts, bwd_t, bwd_j, bwd_b,
+    return out, (xfeat, centers, table, bwd_t, bwd_j, bwd_b,
                  bwd_first, n_items, blk_has_work)
 
 
 def _rsort_vjp_bwd(spec, dims, interpret, res, go):
-    (xfeat, centers, gw_sorted, counts, bwd_t, bwd_j, bwd_b, bwd_first,
+    (xfeat, centers, table, bwd_t, bwd_j, bwd_b, bwd_first,
      n_items, blk_has_work) = res
-    n_tt, n_pt, n_ch = dims
+    n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
     s = xfeat.shape[1]
-    c = gw_sorted.shape[-1] - FDIM
+    f_in = table.shape[-1]
+    c = f_in - FDIM - n_words
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_tt=n_tt, n_pt=n_pt)
 
     def ie(i, cnt):
         return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
 
-    def x_map(i, bt, bj, bb, first, cnt, counts_r, cx):
+    def x_map(i, bt, bj, bb, first, cnt, cx):
         k = ie(i, cnt)
         return (tid(bt[k], bj[k]), 0, 0)
 
-    def g_map(i, bt, bj, bb, first, cnt, counts_r, cx):
+    def g_map(i, bt, bj, bb, first, cnt, cx):
         k = ie(i, cnt)
-        return (bt[k], bb[k], 0)
+        return (bb[k], 0, 0)
 
-    dgw = pl.pallas_call(
-        functools.partial(_rs_bwd_kernel, t_ang=t_ang, n_c=c),
+    dtable = pl.pallas_call(
+        functools.partial(
+            _rs_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=6,
             grid=(spec.w_max,),
             in_specs=[
                 pl.BlockSpec((1, s, 2 * FDIM), x_map),
-                pl.BlockSpec((1, spec.g_tile, FDIM + c), g_map),
+                pl.BlockSpec((1, spec.g_tile, f_in), g_map),
                 pl.BlockSpec((1, s, c), x_map),
             ],
-            out_specs=pl.BlockSpec((1, spec.g_tile, FDIM + c), g_map),
+            out_specs=pl.BlockSpec((1, spec.g_tile, f_in), g_map),
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (t_ang, gw_sorted.shape[1], FDIM + c), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct(table.shape, jnp.float32),
         interpret=interp,
-    )(bwd_t, bwd_j, bwd_b, bwd_first, n_items, counts, centers,
-      xfeat, gw_sorted, go)
-    # Gaussian blocks with no work items are never visited: mask their
-    # (uninitialized) gradient rows to zero before the scatter-back.
-    has = jnp.repeat(blk_has_work, spec.g_tile, axis=1)  # (T_ang, k_ang)
-    dgw = dgw * has[..., None]
-    return (None, None, dgw) + (None,) * 12
+    )(bwd_t, bwd_j, bwd_b, bwd_first, n_items, centers,
+      xfeat, table, go)
+    # Global blocks with no work items are never visited: mask their
+    # (uninitialized) gradient rows to zero. This IS the gradient in the
+    # padded global layout — no scatter-back (the caller's inverse-
+    # permutation gather finishes the job).
+    dtable = dtable * blk_has_work[:, None, None]
+    return (None, None, dtable) + (None,) * 11
 
 
 rsort_field.defvjp(_rsort_vjp_fwd, _rsort_vjp_bwd)
 
 
 @jax.custom_vjp
-def permute_rows(table, perm, inv_perm):
-    """Row permutation whose backward is the inverse-permutation gather
-    (a plain fancy-index backward would be an XLA scatter, which serializes
-    on TPU; for a permutation the cotangent is just rows reshuffled)."""
-    return table[perm]
+def pad_gather(table, full_perm, inv_perm):
+    """Rows `table[full_perm]` into the padded global layout, with an
+    inverse-permutation-gather backward.
+
+    A plain fancy-index backward would be an XLA scatter-add (serializing,
+    row-count-bound on TPU — the v3 scatter-back cost 6.2 ms/step at 100k).
+    Every original row appears in at most ONE padded slot; padding slots
+    alias row 0 but their cotangents are exactly zero (the kernel masks all
+    gradient components by the membership bit, and padding rows carry
+    pattern 0), so the cotangent of row j is just `g[inv_perm[j]]` — culled
+    rows read the sentinel zero row g_pad.
+    """
+    return table[full_perm]
 
 
-def _permute_rows_fwd(table, perm, inv_perm):
-    return table[perm], inv_perm
+def _pad_gather_fwd(table, full_perm, inv_perm):
+    return table[full_perm], inv_perm
 
 
-def _permute_rows_bwd(inv_perm, g):
-    return g[inv_perm], None, None
+def _pad_gather_bwd(inv_perm, g):
+    g_ext = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)])
+    return g_ext[inv_perm], None, None
 
 
-permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+pad_gather.defvjp(_pad_gather_fwd, _pad_gather_bwd)
 
 
 def tune_rsort_spec(
@@ -588,8 +717,8 @@ def tune_rsort_spec(
     """Fit the rsort capacities to a scene by measuring the cull once.
 
     Runs `rsort_cull` (with generous probe caps) for a few representative
-    cameras and returns a spec whose k_ang / w_max cover the observed maxima
-    with `headroom`. Static shapes stay static: call this once before
+    cameras and returns a spec whose w_max / max_groups cover the observed
+    maxima with `headroom`. Static shapes stay static: call this once before
     building the train step (capacities change rarely — `fit` re-tunes after
     densification milestones and on any runtime overflow).
     """
@@ -598,17 +727,18 @@ def tune_rsort_spec(
     from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
 
     g = scene.capacity
-    k_probe = pl.cdiv(g, base.g_tile) * base.g_tile
-    n_ch = pl.cdiv(end - start, base.t_chunk)
     t_ang = pl.cdiv(num_sampling_points, base.t_theta) * pl.cdiv(
         num_sampling_points, base.t_phi
     )
+    n_ch = pl.cdiv(end - start, base.t_chunk)
+    probe_groups = min(max(4 * base.max_groups, 64), 512)
+    kb_probe = _padded_rows(g, base._replace(max_groups=probe_groups)) // base.g_tile
     probe = base._replace(
-        k_ang=k_probe,
-        w_max=max((k_probe // base.g_tile) * n_ch * t_ang, 1),
+        max_groups=probe_groups,
+        w_max=max(kb_probe * t_ang * n_ch, 1),
     )
-    max_count = 0
     max_items = 1
+    max_groups_obs = 1
     for cam in np.asarray(camera_positions).reshape(-1, 3):
         grid = shell_grid(
             jnp.asarray(cam), box_points, num_sampling_points, start, end,
@@ -618,17 +748,15 @@ def tune_rsort_spec(
             scene.means, scene.scales, scene.alive, jnp.asarray(cam),
             grid.theta, grid.phi, grid.r, probe, scaling_modifier,
         )
-        max_count = max(max_count, int(jnp.max(t.counts)))
         max_items = max(max_items, int(t.n_items[0]))
+        max_groups_obs = max(max_groups_obs, int(t.n_groups))
 
-    k_ang = min(
-        pl.cdiv(int(max_count * headroom), base.g_tile) * base.g_tile,
-        pl.cdiv(g, base.g_tile) * base.g_tile,
-    )
-    k_ang = max(k_ang, base.g_tile)
     return base._replace(
-        k_ang=k_ang,
         w_max=int(max_items * headroom) + 8,
+        # Group merging stays CORRECT (impure blocks only add work items),
+        # so modest headroom suffices here.
+        max_groups=min(max_groups_obs + max(4, max_groups_obs // 4),
+                       probe_groups),
     )
 
 
@@ -657,12 +785,13 @@ def rsort_gaussian_field(
     )
 
     gw = jnp.concatenate([gfeat, channel_weights], axis=1)
-    # One cheap full-population permutation (gather both ways), then ONE
-    # padded-list gather; sorted_ids live in permuted space. Padding-slot
-    # weights are masked IN-KERNEL from `counts` (an (T, k_ang, C) mask
-    # multiply out here cost ~2.5 ms/step at 100k).
-    gw_perm = permute_rows(gw, tiles.perm, tiles.inv_perm)
-    gw_sorted = take_rows(gw_perm, tiles.sorted_ids, tiles.counts, True)
+    # ONE padded-layout gather (backward: ONE inverse gather — no scatter).
+    gw_pad = pad_gather(gw, tiles.full_perm, tiles.inv_perm)
+    patterns = jax.lax.stop_gradient(tiles.words.astype(jnp.float32))
+    table = jnp.concatenate([gw_pad, patterns], axis=1)
+    n_words = tiles.words.shape[1]
+    kb = table.shape[0] // spec.g_tile
+    table3 = table.reshape(kb, spec.g_tile, table.shape[-1])
 
     # Pre-split bf16 hi/lo monomials (same bytes as f32; saves the split on
     # every kernel step).
@@ -671,11 +800,11 @@ def rsort_gaussian_field(
     xfeat_hl = jnp.concatenate([x_hi, x_lo], axis=-1)
 
     out = rsort_field(
-        xfeat_hl, centers, gw_sorted, tiles.counts,
+        xfeat_hl, centers, table3,
         tiles.fwd_t, tiles.fwd_j, tiles.fwd_b, tiles.fwd_first,
         tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
-        spec, (n_tt, n_pt, n_ch), interpret,
+        spec, (n_tt, n_pt, n_ch, n_words), interpret,
     )
     field = untile_field(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
     return field, tiles.overflowed

@@ -338,7 +338,8 @@ def check_culling_capacity(
             "backend": "pallas_rsort",
             "overflowed": bool(t.overflowed),
             "max_count": int(jnp.max(t.counts)),
-            "k_ang": settings.rsort_spec.k_ang,
+            "n_groups": int(t.n_groups),
+            "max_groups": settings.rsort_spec.max_groups,
             "n_items": int(t.n_items[0]),
             "w_max": settings.rsort_spec.w_max,
         }

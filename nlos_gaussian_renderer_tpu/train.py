@@ -309,7 +309,7 @@ def fit_culling_capacity(
         )
         if grow_only:
             new = cur._replace(
-                k_ang=max(cur.k_ang, fitted.k_ang),
+                max_groups=max(cur.max_groups, fitted.max_groups),
                 w_max=max(cur.w_max, fitted.w_max),
             )
         else:
@@ -459,7 +459,7 @@ def fit(
                 caps = settings.rsort_spec
                 print(
                     "culling capacities re-tuned: "
-                    f"k_ang={caps.k_ang} w_max={caps.w_max}"
+                    f"max_groups={caps.max_groups} w_max={caps.w_max}"
                 )
             else:
                 print(

@@ -21,8 +21,8 @@ C, DT = 1.0, 0.01
 BOX = gmath.volume_box_points(VOL_POS, VOL_SIZE)
 CAM = jnp.array([0.05, 0.0, -0.1])
 
-SPEC = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=128, g_tile=32,
-                 w_max=256)
+SPEC = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, g_tile=32, w_max=256,
+                 max_groups=16)
 SETTINGS = RenderSettings(
     num_sampling_points=8, start=60, end=140, backend="pallas_rsort",
     rsort_spec=SPEC,
@@ -60,9 +60,9 @@ class TestRSortCull:
         )
         assert not bool(tiles.overflowed)
         rel = np.asarray(gmath.cartesian_to_spherical(scene.means - CAM))
-        # sorted_ids live in the d-permuted space; map back to original ids.
-        ids = np.asarray(tiles.perm)[np.asarray(tiles.sorted_ids)]
-        counts = np.asarray(tiles.counts)
+        # Padded-slot membership bits, per original gaussian.
+        inv = np.asarray(tiles.inv_perm)
+        words = np.asarray(tiles.words)
         n_items = int(tiles.n_items[0])
         work = set(zip(np.asarray(tiles.fwd_t)[:n_items].tolist(),
                        np.asarray(tiles.fwd_j)[:n_items].tolist(),
@@ -88,13 +88,17 @@ class TestRSortCull:
                 continue
             t = tts[0] * ph_tiles.shape[0] + pts[0]
             j = min(int((d - r[0]) / (SPEC.t_chunk * (r[1] - r[0]))), n_ch - 1)
-            lst = ids[t][: counts[t]]
-            assert g in lst, (g, t)
-            pos = int(np.where(lst == g)[0][0])
-            blk = pos // SPEC.g_tile
+            slot = int(inv[g])
+            assert slot < words.shape[0], (g, t)  # not culled
+            bit = (words[slot, t // 24] >> (t % 24)) & 1
+            assert bit == 1, (g, t)
+            blk = slot // SPEC.g_tile
             assert (t, j, blk) in work, (g, t, j, blk)
 
-    def test_sorted_by_distance(self):
+    def test_groups_block_aligned_and_d_sorted(self):
+        """Each pattern group occupies whole g_tile blocks and is d-ascending
+        within itself — the invariant that makes per-block radial intervals
+        tight."""
         scene = make_scene(32, seed=2)
         grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
         tiles = rsort_cull(
@@ -102,11 +106,26 @@ class TestRSortCull:
             grid.theta, grid.phi, grid.r, SPEC,
         )
         d = np.linalg.norm(np.asarray(scene.means) - np.asarray(CAM), axis=1)
-        perm = np.asarray(tiles.perm)
-        for t in range(tiles.sorted_ids.shape[0]):
-            n = int(tiles.counts[t])
-            ds = d[perm[np.asarray(tiles.sorted_ids[t][:n])]]
-            assert np.all(np.diff(ds) >= -1e-6)
+        words = np.asarray(tiles.words)
+        full_perm = np.asarray(tiles.full_perm)
+        occupied = (words != 0).any(axis=1)
+        slots = np.where(occupied)[0]
+        # Block-aligned: a group's first slot is a multiple of g_tile.
+        starts = [
+            s for s in slots
+            if s % SPEC.g_tile == 0
+            or (words[s] != words[s - 1]).any()
+        ]
+        for s in starts:
+            if (s > 0 and occupied[s - 1]
+                    and (words[s] != words[s - 1]).any()):
+                assert s % SPEC.g_tile == 0, s
+        # d-ascending within each group (contiguous equal-pattern slot runs).
+        ds = d[full_perm]
+        for i in range(1, len(slots)):
+            a, b = slots[i - 1], slots[i]
+            if b == a + 1 and (words[a] == words[b]).all():
+                assert ds[a] <= ds[b] + 1e-6, (a, b)
 
 
 class TestRSortParity:
@@ -158,7 +177,7 @@ class TestCullingCapacityDiagnostic:
         assert ok["backend"] == "pallas_rsort"
         assert not ok["overflowed"]
         tight = SETTINGS._replace(
-            rsort_spec=SPEC._replace(k_ang=32, w_max=2)
+            rsort_spec=SPEC._replace(w_max=2)
         )
         bad = check_culling_capacity(scene, CAM, BOX, C, DT, tight)
         assert bad["overflowed"]
@@ -185,8 +204,9 @@ class TestTuneSpec:
         s = SETTINGS._replace(rsort_spec=spec)
         diag = check_culling_capacity(scene, CAM, BOX, C, DT, s)
         assert not diag["overflowed"], diag
-        # ... and no larger than the population allows.
-        assert spec.k_ang <= 64  # 48 gaussians -> one 32-block rounds to 64
+        # ... and sized to the observed cull, not the static worst case.
+        assert spec.w_max < SPEC.w_max
+        assert spec.max_groups <= SPEC.max_groups * 4
         # Render parity still holds with fitted caps.
         _, hr, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s)
         _, hd, _ = render_transient(
@@ -219,15 +239,17 @@ class TestDegenerateFootprints:
             log_scales=jnp.asarray(log_scales),
         )
         grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
-        spec = SPEC._replace(k_ang=64)
         tiles = rsort_cull(
             scene.means, scene.scales, scene.alive, CAM,
-            grid.theta, grid.phi, grid.r, spec,
+            grid.theta, grid.phi, grid.r, SPEC,
         )
-        ids = np.asarray(tiles.perm)[np.asarray(tiles.sorted_ids)]
-        counts = np.asarray(tiles.counts)
-        for t in range(ids.shape[0]):
-            assert 0 in ids[t][: counts[t]], f"tile {t} dropped the engulfing gaussian"
+        slot = int(tiles.inv_perm[0])
+        words = np.asarray(tiles.words)
+        assert slot < words.shape[0], "engulfing gaussian was culled"
+        t_ang = int(np.asarray(tiles.counts).shape[0])
+        for t in range(t_ang):
+            bit = (words[slot, t // 24] >> (t % 24)) & 1
+            assert bit == 1, f"tile {t} dropped the engulfing gaussian"
 
     def test_pole_wrapping_gaussian_covers_all_phi_tiles(self):
         """A Gaussian whose angular cone wraps a theta pole must cover every

@@ -133,8 +133,8 @@ class TestShardedBackends:
         data, cfg, optim, scene, tx, settings, box = setup
         spec = TileSpec(t_theta=4, t_phi=8, t_r=16, k_max=64, a_sub=256,
                         g_tile=32)
-        rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=64, g_tile=32,
-                          w_max=128)
+        rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, g_tile=32, w_max=128,
+                          max_groups=16)
         s = settings._replace(backend=backend, occlusion=occ, tile_spec=spec,
                               rsort_spec=rspec)
         cam = jnp.asarray(data.camera_grid_positions[:, 3])
@@ -193,8 +193,8 @@ class TestShardedPallasTraining:
         from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec
 
         data, cfg, optim, scene, tx, settings, box = setup
-        rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, k_ang=64, g_tile=32,
-                          w_max=128)
+        rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, g_tile=32, w_max=128,
+                          max_groups=16)
         s = settings._replace(backend="pallas_rsort", rsort_spec=rspec)
         mesh = make_mesh([2, 4], ("scan", "gauss"))
         idx = np.arange(4)

@@ -320,9 +320,9 @@ class TestOverflowSafety:
         cfg = tiny_config(tiny_data, init_gaussian_num=64, batch_size=1)
         optim = OptimizationParams()
         scene, tx, _, box = prepare_training(cfg, optim, tiny_data)
-        # Deliberately tiny caps: 64 gaussians >> k_ang = 32.
+        # Deliberately tiny cap: w_max=4 cannot hold the work list.
         tiny_spec = RSortSpec(
-            t_theta=8, t_phi=16, t_chunk=8, k_ang=32, g_tile=32, w_max=4,
+            t_theta=8, t_phi=16, t_chunk=8, g_tile=32, w_max=4, max_groups=8,
         )
         settings = RenderSettings(
             num_sampling_points=8, start=cfg.start, end=cfg.end,

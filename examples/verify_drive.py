@@ -13,6 +13,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("VERIFY_CPU"):
+    # Per .claude/skills/verify: env vars alone can't flip the platform in
+    # this image (sitecustomize imports jax first) — set it post-import.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -96,9 +100,23 @@ for backend, extra in [
           file=sys.stderr)
     # analytic integrates the shells exactly (vs 1-sample-per-bin dense
     # quadrature): agreement is physical, not numerical.
-    tol = 5e-2 if backend == "analytic" else 1e-4
+    # Kernel backends: bf16x3 MXU + f32 reassociation noise, ~1e-4.
+    tol = 5e-2 if backend == "analytic" else 3e-4
     assert rel < tol, (backend, rel)
     assert not bool(ov)
+
+# 4b: per_gaussian occlusion routes accelerated backends to the chunked
+# scan — must match the dense (A, N) matrix path.
+spg = RenderSettings(backend="dense", occlusion=True,
+                     occlusion_mode="per_gaussian", **common)
+_, hg_d, _ = render_transient(scene, cam, box, data.c, data.deltaT, vol, 0, spg)
+_, hg_c, _ = render_transient(
+    scene, cam, box, data.c, data.deltaT, vol, 0,
+    spg._replace(backend="pallas_rsort"),
+)
+rel = float(jnp.linalg.norm(hg_c - hg_d) / (jnp.linalg.norm(hg_d) + 1e-12))
+print(f"[parity] per_gaussian chunked: rel={rel:.2e}", file=sys.stderr)
+assert rel < 1e-4, rel
 
 # 5: checkpoint roundtrip.
 with tempfile.TemporaryDirectory() as td:

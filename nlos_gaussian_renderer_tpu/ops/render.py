@@ -222,6 +222,85 @@ def field_response(
     raise ValueError(settings.occlusion_mode)
 
 
+def field_response_per_gaussian_chunked(
+    scene: GaussianScene,
+    points,
+    camera_pos,
+    c,
+    delta_t,
+    active_sh_degree,
+    settings: RenderSettings,
+    gauss_chunk: Optional[int] = None,
+    gauss_axis: Optional[str] = None,
+) -> jax.Array:
+    """Memory-safe per_gaussian occlusion field (A,), chunked over Gaussians.
+
+    The per_gaussian transmittance is SELF-contained — each Gaussian is
+    attenuated only by its own accumulated density along r (reference
+    `gaussian_model.py:316-324`) — so the sum over Gaussians chunks exactly:
+    no cross-chunk state. This replaces the dense path's (A, N) matrix with
+    (A, chunk) blocks inside a scan (the fused kernels can't host this mode:
+    their output is a per-sample Gaussian-SUM, but per_gaussian needs the
+    un-reduced matrix for the per-Gaussian cumsum along r).
+
+    The scan body is rematerialized (`jax.checkpoint`) so the backward pass
+    recomputes each chunk's PDFs instead of storing (A, chunk) residuals for
+    every chunk — peak memory stays ~3 chunk-sized temporaries either way.
+    """
+    ns2 = settings.num_sampling_points**2
+    num_r = settings.num_bins
+    a = num_r * ns2
+    if gauss_chunk is None:
+        # ~3 live (A, chunk) f32 temporaries (pdf, trans, product); cap
+        # ~250 MB total.
+        gauss_chunk = max(64, int(80e6 // max(4 * a, 1)))
+    n = scene.capacity
+    chunk = min(gauss_chunk, n)
+    pad = (-n) % chunk
+    n_chunks = (n + pad) // chunk
+    idx = jnp.arange(n + pad) % n  # wrap; padded entries get weight 0
+    valid = jnp.concatenate([jnp.ones(n), jnp.zeros(pad)])
+
+    mod = settings.scaling_modifier
+    gfeat = scene.quadratic_form(mod)  # (N, 10)
+    op = (scene.opacities[:, 0])[idx] * valid  # (N+pad,) padded rows dead
+    rho = view_albedo(scene, camera_pos, active_sh_degree)[idx]  # (N+pad,)
+    gf_c = gfeat[idx].reshape(n_chunks, chunk, gmath.QUADRATIC_DIM)
+    op_c = op.reshape(n_chunks, chunk)
+    rho_c = rho.reshape(n_chunks, chunk)
+
+    xfeat = gmath.point_monomials(points)  # (A, 10)
+    cdt = c * delta_t
+
+    @jax.checkpoint
+    def body(acc, args):
+        gf, o, rh = args
+        maha = gmath.mahalanobis_matmul(xfeat, gf)  # (A, chunk)
+        density = (jnp.exp(-0.5 * maha) * o[None, :]).reshape(
+            num_r, ns2, chunk
+        )
+        if settings.rendering_type == "netf":
+            log_occ = jnp.log(jnp.exp(-density * cdt) + 1e-7)
+            trans = jnp.exp(_exclusive_cumsum(log_occ, axis=0))
+            part = (
+                jnp.sum(density * trans * rh[None, None, :], axis=-1) * cdt
+            )
+        elif settings.rendering_type == "nlos-neus":
+            alpha = 1.0 - jnp.exp(-density * cdt)
+            log_t = jnp.log(1.0 - alpha + 1e-7)
+            trans = jnp.exp(_exclusive_cumsum(log_t, axis=0))
+            part = jnp.sum(alpha * trans * rh[None, None, :], axis=-1)
+        else:
+            raise ValueError(settings.rendering_type)
+        return acc + part, None
+
+    acc0 = jnp.zeros((num_r, ns2), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (gf_c, op_c, rho_c))
+    if gauss_axis is not None:
+        out = jax.lax.psum(out, gauss_axis)
+    return out.reshape(-1)
+
+
 def field_response_pallas(
     scene: GaussianScene,
     grid: ShellGrid,
@@ -404,6 +483,16 @@ def render_transient(
 
         out = analytic_field_response(
             scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
+            gauss_axis=gauss_axis,
+        )
+    elif settings.backend != "dense" and not aggregate_ok:
+        # per_gaussian occlusion on an accelerated backend: the fused kernels
+        # emit Gaussian-SUMS, but this mode needs the un-reduced matrix for
+        # its per-Gaussian transmittance — use the exact Gaussian-chunked
+        # scan (memory-safe at any population).
+        points = jax.lax.stop_gradient(grid.points.reshape(-1, 3))
+        out = field_response_per_gaussian_chunked(
+            scene, points, camera_pos, c, delta_t, active_sh_degree, settings,
             gauss_axis=gauss_axis,
         )
     else:

@@ -61,7 +61,10 @@ class Config:
     occlusion_mode: str = "aggregate"
 
     # Renderer backend: 'dense' (pure-jnp matmul form), 'pallas' (fused kernel
-    # with cull->compact block-sparsity), 'analytic' (closed-form erf sections).
+    # with cull->compact block-sparsity), 'pallas_rsort' (distance-sorted
+    # range-sparse kernel, fastest at scale), 'pallas_analytic' (erf-section
+    # kernel behind the rsort culling: exact per-bin integrals), 'analytic'
+    # (chunked-jnp closed-form erf sections).
     renderer: str = "dense"
 
     # The radiometric factor `volume_position[1] ** 2` applied to the rendered

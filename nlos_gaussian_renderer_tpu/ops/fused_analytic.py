@@ -1,0 +1,559 @@
+"""Work-list-scheduled Pallas kernel for CLOSED-FORM (erf) shell integration.
+
+The chunked-jnp analytic backend (`ops/analytic.py`) is exact but dense: it
+evaluates every Gaussian against every ray. This module puts the same erf
+section math (after "Don't Splat your Gaussians", Condor et al. 2024 — the
+technique of the reference's `volume_renderer_analytic.cu:23-173` /
+`analytic_integration.cuh:123-172`, rebuilt with REAL per-bin deposition)
+behind the rsort backend's culling machinery: the (pattern, d)-sorted global
+table, packed membership words, and (tile, chunk, block) work lists of
+`ops/fused_rsort.py` are reused verbatim — only the kernel body changes.
+
+Per work item the kernel evaluates, for each ray s of the angular tile and
+each Gaussian k of the global block, the ray-quadratic
+    m(t) = qa t^2 + qb t + qc
+of the squared Mahalanobis along the ray, then deposits the EXACT optical
+depth of every time bin in the chunk:
+    tau[bin] = integral_{e_bin}^{e_bin+1} exp(-m(t)/2) dt
+             = pref * (erf(z1) - erf(z0)),
+    pref = 0.5*sqrt(2*pi/qa) * exp(-0.5*(qc - qb^2/(4*qa))),
+    z(t) = sqrt(qa/2) * (t + qb/(2*qa)).
+
+**Numerical core — tile-centered ray parameterization.** Evaluating
+qc - qb^2/(4qa) in the global frame cancels catastrophically (both terms are
+~(d/sigma)^2 ~ 1e4-1e6 while the result is <= ~30 for any culled-in
+Gaussian). The kernel therefore re-parameterizes each ray by s = t - t_c
+around the point o + t_c*w nearest the tile centroid x0:
+    y(s) = u + s*w,  u = (o - x0) + t_c*w   (|u| ~ tile extent, small),
+and evaluates the quadratic in the x0-centered form basis
+(`_center_transform`): qa = w^T A w, qb = 2 u^T A w + b'.w,
+qc = mon(u) . g'. All three come off bf16x3 MXU contractions whose operand
+magnitudes are O(tile/sigma), not O(d/sigma) — the same centering trick the
+numerical rsort kernels use.
+
+**Backward — closed-form moment integrals.** With E(s) = exp(-m(s)/2) and
+I0 = tau, the first two moments have exact recurrences
+    I1 = (E(s0) - E(s1) - (qb/2) I0) / qa,
+    I2 = (I0 - (qb/2) I1 - (s1 E(s1) - s0 E(s0))) / qa,
+giving d tau/d(qa, qb, qc) = -(I2, I1, I0)/2 with no erf derivatives and no
+clamping: the cotangent flows through three transposed contractions into the
+centered-form basis and `_center_transform_t` maps it back. qa >= 1/s_max^2
+is far from zero, so the divisions are well-conditioned.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nlos_gaussian_renderer_tpu.ops.fused import (
+    FDIM,
+    TileSpec,
+    _interpret_default,
+    tile_coords,
+    untile_field,
+)
+from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+    RSortSpec,
+    RSortTiles,
+    _bf16_dot,
+    _center_transform,
+    _center_transform_t,
+    _member_bits,
+    _split_hi_lo,
+    _tile_id_map,
+    pad_gather,
+)
+
+# Ray-feature layout along the last axis of the xfeat input:
+#   [w0, w1, w2, w0^2, w1^2, w2^2, w0*w1, w0*w2, w1*w2] (9), then padding.
+XF_ANALYTIC = 16  # padded feature width (sublane-friendly)
+
+
+def analytic_ray_features(theta, phi, spec: RSortSpec):
+    """(T_ang, S_ang, XF) per-angular-tile unit directions + their mon2.
+
+    Sample order within a tile is (theta_local, phi_local) — consistent with
+    `tile_coords`' (r, theta, phi) in-tile order once the kernel interleaves
+    the chunk's radial bins.
+    """
+    ns = theta.shape[0]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    pt = n_tt * spec.t_theta - ns
+    pp = n_pt * spec.t_phi - ns
+    th = jnp.concatenate([theta, jnp.full((pt,), theta[-1])])
+    ph = jnp.concatenate([phi, jnp.full((pp,), phi[-1])])
+    sin_t = jnp.sin(th)
+    w = jnp.stack(
+        [
+            sin_t[:, None] * jnp.cos(ph)[None, :],
+            sin_t[:, None] * jnp.sin(ph)[None, :],
+            jnp.cos(th)[:, None] * jnp.ones((1, ph.shape[0])),
+        ],
+        axis=-1,
+    )  # (ns_t, ns_p, 3)
+    tiles = w.reshape(n_tt, spec.t_theta, n_pt, spec.t_phi, 3).transpose(
+        0, 2, 1, 3, 4
+    ).reshape(n_tt * n_pt, spec.t_theta * spec.t_phi, 3)
+    w0, w1, w2 = tiles[..., 0], tiles[..., 1], tiles[..., 2]
+    feats = jnp.stack(
+        [w0, w1, w2, w0 * w0, w1 * w1, w2 * w2, w0 * w1, w0 * w2, w1 * w2],
+        axis=-1,
+    )
+    pad = XF_ANALYTIC - feats.shape[-1]
+    return jnp.pad(feats, ((0, 0), (0, 0), (0, pad)))
+
+
+def analytic_tile_aux(points, cam, ns, num_r, spec: RSortSpec):
+    """(n_tiles_total, 4) per-(chunk, tile) metadata [delta(3), t_c].
+
+    delta = cam - x0 (x0 = tile sample centroid), t_c = |x0 - cam|: the ray
+    re-parameterization anchor shared by every ray in the tile.
+    """
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    n_ch = pl.cdiv(num_r, spec.t_chunk)
+    tp = TileSpec(t_theta=spec.t_theta, t_phi=spec.t_phi, t_r=spec.t_chunk)
+    pts = tile_coords(points, ns, num_r, tp, n_tt, n_pt, n_ch)  # (T, S, 3)
+    centers = jnp.mean(pts, axis=1)  # (T, 3)
+    cam = jnp.asarray(cam)
+    delta = cam[None, :] - centers
+    t_c = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    return jnp.concatenate([delta, t_c], axis=1)  # (T, 4)
+
+
+def chunk_edges(r, spec: RSortSpec):
+    """(n_ch, t_chunk + 1) absolute bin edges per radial chunk (padded)."""
+    from nlos_gaussian_renderer_tpu.ops.analytic import bin_edges_from_grid
+
+    num_r = r.shape[0]
+    n_ch = pl.cdiv(num_r, spec.t_chunk)
+    dr = r[1] - r[0]
+    pad = n_ch * spec.t_chunk - num_r
+    edges = bin_edges_from_grid(r)  # (num_r + 1,)
+    if pad:
+        extra = edges[-1] + dr * jnp.arange(1, pad + 1)
+        edges = jnp.concatenate([edges, extra])
+    # Overlapping view: chunk j owns edges [j*t_chunk, j*t_chunk + t_chunk].
+    idx = (
+        jnp.arange(n_ch)[:, None] * spec.t_chunk
+        + jnp.arange(spec.t_chunk + 1)[None, :]
+    )
+    return edges[idx]
+
+
+def _analytic_quadratics(xf, gp, aux_row):
+    """(qa, qb, qc) each (S, K) from centered forms gp and ray features."""
+    d0, d1, d2, tc = aux_row[0], aux_row[1], aux_row[2], aux_row[3]
+    w = xf[:, :3]
+    mon2_w = xf[:, 3:9]  # [w0^2, w1^2, w2^2, w0w1, w0w2, w1w2]
+    u0 = d0 + tc * w[:, 0]
+    u1 = d1 + tc * w[:, 1]
+    u2 = d2 + tc * w[:, 2]
+    # qa = w^T A w: mon2(w) . A6 (packed off-diagonals already doubled).
+    a6 = gp[:, :6]
+    qa = _hilo_matmul(mon2_w, a6)
+    # qb = 2 u^T A w + b'.w: mixed features . A6 + w . b'.
+    mixed = jnp.stack(
+        [
+            2.0 * u0 * w[:, 0],
+            2.0 * u1 * w[:, 1],
+            2.0 * u2 * w[:, 2],
+            u0 * w[:, 1] + u1 * w[:, 0],
+            u0 * w[:, 2] + u2 * w[:, 0],
+            u1 * w[:, 2] + u2 * w[:, 1],
+        ],
+        axis=1,
+    )  # (S, 6)
+    qb_feats = jnp.concatenate([mixed, w], axis=1)  # (S, 9)
+    qb = _hilo_matmul(qb_feats, gp[:, :9])
+    # qc = mon(u) . g' (all 10 centered-form components).
+    one = jnp.ones_like(u0)
+    mon_u = jnp.stack(
+        [u0 * u0, u1 * u1, u2 * u2, u0 * u1, u0 * u2, u1 * u2,
+         u0, u1, u2, one],
+        axis=1,
+    )  # (S, 10)
+    qc = _hilo_matmul(mon_u, gp)
+    return qa, qb, qc
+
+
+def _hilo_matmul(x, g):
+    """bf16x3-style (S, F) x (K, F) -> (S, K) with f32 accumulation.
+
+    Same one-pass trick as `fused_rsort._maha_centered_bf16`: concatenate
+    [x_hi, x_hi, x_lo] against [g_hi, g_lo, g_hi] along F (3F <= 128 pads
+    into one MXU pass; the lo*lo term is ~2^-16 relative).
+    """
+    x_hi, x_lo = _split_hi_lo(x)
+    g_hi, g_lo = _split_hi_lo(g)
+    xcat = jnp.concatenate([x_hi, x_hi, x_lo], axis=1)
+    gcat = jnp.concatenate([g_hi, g_lo, g_hi], axis=1)
+    return _bf16_dot(xcat, gcat, ((1,), (1,)))
+
+
+_SQRT_2PI = 2.5066282746310002
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _erf(x):
+    return jax.lax.erf(x)
+
+
+def _an_fwd_kernel(ft, fj, fb, first, cnt, aux, edges, xf_ref, gw_ref,
+                   out_ref, *, t_ang, n_c, n_words, t_chunk, s_ang):
+    i = pl.program_id(0)
+    live = i < cnt[0]
+
+    @pl.when(jnp.logical_and(live, first[i] == 1))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(live)
+    def _():
+        tile = fj[i] * t_ang + ft[i]
+        gw = gw_ref[0]
+        # Forms centered at x0 = cam - delta: x0 in world coords.
+        d0, d1, d2, tc = aux[tile, 0], aux[tile, 1], aux[tile, 2], aux[tile, 3]
+        # _center_transform centers at the point x0 given in WORLD coords;
+        # x0 = cam - delta.
+        cx0 = aux[tile, 4]
+        cx1 = aux[tile, 5]
+        cx2 = aux[tile, 6]
+        gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
+        smask = _member_bits(gw[:, FDIM + n_c:], ft[i])
+        xf = xf_ref[0]
+        qa, qb, qc = _analytic_quadratics(
+            xf, gp, (d0, d1, d2, tc)
+        )  # (S_ang, K) each
+        qa = jnp.maximum(qa, 1e-8)
+        inv2qa = 0.5 / qa
+        phi = jnp.maximum(qc - qb * qb * inv2qa * 0.5, 0.0)
+        pref = (
+            0.5 * _SQRT_2PI * jax.lax.rsqrt(qa) * jnp.exp(-0.5 * phi)
+        )  # (S, K)
+        sqrt_half_qa = jnp.sqrt(0.5 * qa)
+        shift = qb * inv2qa
+        # March the chunk's bin edges; deposit per-bin erf differences.
+        j = fj[i]
+        cdf_prev = _erf(sqrt_half_qa * ((edges[j, 0] - tc) + shift))
+        for b in range(t_chunk):
+            cdf_cur = _erf(sqrt_half_qa * ((edges[j, b + 1] - tc) + shift))
+            tau = pref * (cdf_cur - cdf_prev)  # (S, K)
+            cdf_prev = cdf_cur
+            for c in range(n_c):
+                wv = gw[:, FDIM + c] * smask
+                out_ref[0, b * s_ang:(b + 1) * s_ang, c] += jnp.sum(
+                    tau * wv[None, :], axis=1
+                )
+
+
+def _an_bwd_kernel(bt, bj, bb, first, cnt, aux, edges, xf_ref, gw_ref,
+                   go_ref, dgw_ref, *, t_ang, n_c, n_words, t_chunk, s_ang):
+    i = pl.program_id(0)
+    live = i < cnt[0]
+
+    @pl.when(jnp.logical_and(live, first[i] == 1))
+    def _():
+        dgw_ref[...] = jnp.zeros_like(dgw_ref)
+
+    @pl.when(live)
+    def _():
+        tile = bj[i] * t_ang + bt[i]
+        gw = gw_ref[0]
+        d0, d1, d2, tc = aux[tile, 0], aux[tile, 1], aux[tile, 2], aux[tile, 3]
+        cx0, cx1, cx2 = aux[tile, 4], aux[tile, 5], aux[tile, 6]
+        gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
+        smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
+        xf = xf_ref[0]
+        qa, qb, qc = _analytic_quadratics(xf, gp, (d0, d1, d2, tc))
+        qa = jnp.maximum(qa, 1e-8)
+        inv_qa = 1.0 / qa
+        inv2qa = 0.5 * inv_qa
+        phi = jnp.maximum(qc - qb * qb * inv2qa * 0.5, 0.0)
+        pref = 0.5 * _SQRT_2PI * jax.lax.rsqrt(qa) * jnp.exp(-0.5 * phi)
+        sqrt_half_qa = jnp.sqrt(0.5 * qa)
+        shift = qb * inv2qa
+        j = bj[i]
+        half_qb = 0.5 * qb
+
+        s_prev = edges[j, 0] - tc
+        cdf_prev = _erf(sqrt_half_qa * (s_prev + shift))
+        # E(s) = exp(-m(s)/2), m(s) = qc + s*(qb + qa*s) — stable Horner.
+        e_prev = jnp.exp(-0.5 * (qc + s_prev * (qb + qa * s_prev)))
+        dqa = jnp.zeros_like(qa)
+        dqb = jnp.zeros_like(qa)
+        dqc = jnp.zeros_like(qa)
+        dw_acc = [jnp.zeros((gw.shape[0],), jnp.float32) for _ in range(n_c)]
+        go = go_ref[0]  # (S, C) with S = t_chunk * s_ang
+        for b in range(t_chunk):
+            s_cur = edges[j, b + 1] - tc
+            cdf_cur = _erf(sqrt_half_qa * (s_cur + shift))
+            e_cur = jnp.exp(-0.5 * (qc + s_cur * (qb + qa * s_cur)))
+            i0 = pref * (cdf_cur - cdf_prev)  # (S, K) = tau
+            i1 = (e_prev - e_cur - half_qb * i0) * inv_qa
+            i2 = (i0 - half_qb * i1 - (s_cur * e_cur - s_prev * e_prev)) * inv_qa
+            # dtau[s, k] = sum_c go[s_out, c] * w[k, c] (masked).
+            go_b = go[b * s_ang:(b + 1) * s_ang]  # (s_ang, C)
+            dtau = jnp.zeros_like(i0)
+            for c in range(n_c):
+                wv = gw[:, FDIM + c] * smask
+                dtau += go_b[:, c][:, None] * wv[None, :]
+                dw_acc[c] += jnp.sum(go_b[:, c][:, None] * i0, axis=0)
+            dqa += dtau * (-0.5 * i2)
+            dqb += dtau * (-0.5 * i1)
+            dqc += dtau * (-0.5 * i0)
+            s_prev, cdf_prev, e_prev = s_cur, cdf_cur, e_cur
+
+        # Assemble dg' from the three contraction transposes (contract S).
+        w = xf[:, :3]
+        mon2_w = xf[:, 3:9]
+        u0 = d0 + tc * w[:, 0]
+        u1 = d1 + tc * w[:, 1]
+        u2 = d2 + tc * w[:, 2]
+        mixed = jnp.stack(
+            [
+                2.0 * u0 * w[:, 0],
+                2.0 * u1 * w[:, 1],
+                2.0 * u2 * w[:, 2],
+                u0 * w[:, 1] + u1 * w[:, 0],
+                u0 * w[:, 2] + u2 * w[:, 0],
+                u1 * w[:, 2] + u2 * w[:, 1],
+            ],
+            axis=1,
+        )
+        one = jnp.ones_like(u0)
+        mon_u = jnp.stack(
+            [u0 * u0, u1 * u1, u2 * u2, u0 * u1, u0 * u2, u1 * u2,
+             u0, u1, u2, one],
+            axis=1,
+        )
+        # dgp[k, f]: qc hits all 10; qb hits [:6] via mixed and [6:9] via w;
+        # qa hits [:6] via mon2(w). Contractions over S (<= 128): bf16x3 in
+        # two passes each ([x_hi | x_lo] lane-shared, lo x hi separate).
+        dgp = _contract_s(dqc, mon_u)
+        dgp_b = _contract_s(dqb, jnp.concatenate([mixed, w], axis=1))  # (K, 9)
+        dgp_a = _contract_s(dqa, mon2_w)  # (K, 6)
+        dgp = (
+            dgp
+            + jnp.pad(dgp_b, ((0, 0), (0, 1)))
+            + jnp.pad(dgp_a, ((0, 0), (0, 4)))
+        )
+        dg = _center_transform_t(dgp, cx0, cx1, cx2)
+        dg = dg * smask[:, None]
+        dw_cols = jnp.stack(
+            [dw_acc[c] * smask for c in range(n_c)], axis=1
+        )
+        zero_pat = jnp.zeros((dg.shape[0], n_words), jnp.float32)
+        dgw_ref[0] += jnp.concatenate([dg, dw_cols, zero_pat], axis=1)
+
+
+def _contract_s(dq, feats):
+    """(S, K), (S, F) -> (K, F) bf16x3 over the S contraction."""
+    dq_hi, dq_lo = _split_hi_lo(dq)
+    f_hi, f_lo = _split_hi_lo(feats)
+    both = _bf16_dot(dq_hi, jnp.concatenate([f_hi, f_lo], axis=1),
+                     ((0,), (0,)))  # (K, 2F)
+    f = feats.shape[1]
+    return both[:, :f] + both[:, f:] + _bf16_dot(dq_lo, f_hi, ((0,), (0,)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+def analytic_rsort_field(
+    xfeat,  # (T_ang, S_ang, XF) ray features
+    aux,  # (n_tiles_total, 8) [delta(3), t_c, x0(3), pad]
+    edges,  # (n_ch, t_chunk + 1)
+    table,  # (KB, g_tile, 10 + C + P)
+    fwd_t, fwd_j, fwd_b, fwd_first,
+    bwd_t, bwd_j, bwd_b, bwd_first,
+    n_items,
+    tile_has_work,
+    blk_has_work,
+    spec: RSortSpec = RSortSpec(),
+    dims: Tuple[int, int, int, int] = (4, 2, 25, 1),
+    interpret: Optional[bool] = None,
+):
+    """out (n_tiles_total, S, C): exact per-bin optical depths (tau), summed
+    over the block's Gaussians with their channel weights."""
+    return _an_fwd_impl(
+        xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
+        n_items, tile_has_work, spec, dims, interpret,
+    )
+
+
+def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
+                 n_items, tile_has_work, spec, dims, interpret):
+    n_tt, n_pt, n_ch, n_words = dims
+    t_ang = n_tt * n_pt
+    s_ang = xfeat.shape[1]
+    s = s_ang * spec.t_chunk
+    c = table.shape[-1] - FDIM - n_words
+    interp = _interpret_default() if interpret is None else interpret
+    tid = _tile_id_map(n_tt, n_pt)
+
+    def ie(i, cnt):
+        return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
+
+    def x_map(i, ft, fj, fb, first, cnt, aux_, edges_):
+        k = ie(i, cnt)
+        return (ft[k], 0, 0)
+
+    def g_map(i, ft, fj, fb, first, cnt, aux_, edges_):
+        k = ie(i, cnt)
+        return (fb[k], 0, 0)
+
+    def o_map(i, ft, fj, fb, first, cnt, aux_, edges_):
+        k = ie(i, cnt)
+        return (tid(ft[k], fj[k]), 0, 0)
+
+    n_tiles_total = n_ch * t_ang
+    out = pl.pallas_call(
+        functools.partial(
+            _an_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
+            t_chunk=spec.t_chunk, s_ang=s_ang,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(spec.w_max,),
+            in_specs=[
+                pl.BlockSpec((1, s_ang, XF_ANALYTIC), x_map),
+                pl.BlockSpec((1, spec.g_tile, table.shape[-1]), g_map),
+            ],
+            out_specs=pl.BlockSpec((1, s, c), o_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles_total, s, c), jnp.float32),
+        interpret=interp,
+    )(
+        fwd_t, fwd_j, fwd_b, fwd_first, n_items, aux, edges,
+        xfeat, table,
+    )
+    tile_ids = jnp.arange(n_tiles_total)
+    t_of = tile_ids % t_ang
+    j_of = tile_ids // t_ang
+    has = tile_has_work[t_of, j_of]
+    return jnp.where(has[:, None, None], out, 0.0)
+
+
+def _an_vjp_fwd(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
+                bwd_t, bwd_j, bwd_b, bwd_first, n_items, tile_has_work,
+                blk_has_work, spec, dims, interpret):
+    out = _an_fwd_impl(
+        xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
+        n_items, tile_has_work, spec, dims, interpret,
+    )
+    return out, (xfeat, aux, edges, table, bwd_t, bwd_j, bwd_b, bwd_first,
+                 n_items, blk_has_work)
+
+
+def _an_vjp_bwd(spec, dims, interpret, res, go):
+    (xfeat, aux, edges, table, bwd_t, bwd_j, bwd_b, bwd_first,
+     n_items, blk_has_work) = res
+    n_tt, n_pt, n_ch, n_words = dims
+    t_ang = n_tt * n_pt
+    s_ang = xfeat.shape[1]
+    s = s_ang * spec.t_chunk
+    f_in = table.shape[-1]
+    c = f_in - FDIM - n_words
+    interp = _interpret_default() if interpret is None else interpret
+    tid = _tile_id_map(n_tt, n_pt)
+
+    def ie(i, cnt):
+        return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
+
+    def x_map(i, bt, bj, bb, first, cnt, aux_, edges_):
+        k = ie(i, cnt)
+        return (bt[k], 0, 0)
+
+    def g_map(i, bt, bj, bb, first, cnt, aux_, edges_):
+        k = ie(i, cnt)
+        return (bb[k], 0, 0)
+
+    def o_map(i, bt, bj, bb, first, cnt, aux_, edges_):
+        k = ie(i, cnt)
+        return (tid(bt[k], bj[k]), 0, 0)
+
+    dtable = pl.pallas_call(
+        functools.partial(
+            _an_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
+            t_chunk=spec.t_chunk, s_ang=s_ang,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=(spec.w_max,),
+            in_specs=[
+                pl.BlockSpec((1, s_ang, XF_ANALYTIC), x_map),
+                pl.BlockSpec((1, spec.g_tile, f_in), g_map),
+                pl.BlockSpec((1, s, c), o_map),
+            ],
+            out_specs=pl.BlockSpec((1, spec.g_tile, f_in), g_map),
+        ),
+        out_shape=jax.ShapeDtypeStruct(table.shape, jnp.float32),
+        interpret=interp,
+    )(bwd_t, bwd_j, bwd_b, bwd_first, n_items, aux, edges,
+      xfeat, table, go)
+    dtable = dtable * blk_has_work[:, None, None]
+    return (None, None, None, dtable) + (None,) * 11
+
+
+analytic_rsort_field.defvjp(_an_vjp_fwd, _an_vjp_bwd)
+
+
+def analytic_gaussian_field(
+    gfeat,  # (G, 10)
+    channel_weights,  # (G, C)
+    grid,  # ShellGrid
+    tiles: RSortTiles,
+    spec: RSortSpec,
+    cam,
+    interpret: Optional[bool] = None,
+):
+    """Closed-form per-bin field (num_r, ns, ns, C) + overflow flag.
+
+    Values are tau / bin_width — the exact bin average of the field the
+    numerical kernels sample at bin centers, so the two backends are
+    directly comparable (and converge to each other as bins shrink).
+    """
+    theta, phi, r = grid.theta, grid.phi, grid.r
+    ns = theta.shape[0]
+    num_r = r.shape[0]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    n_ch = pl.cdiv(num_r, spec.t_chunk)
+
+    xfeat = analytic_ray_features(theta, phi, spec)
+    aux4 = analytic_tile_aux(
+        jax.lax.stop_gradient(grid.points), cam, ns, num_r, spec
+    )  # (T, 4) [delta, tc]
+    cam_v = jnp.asarray(cam)
+    x0 = cam_v[None, :] - aux4[:, :3]
+    aux = jnp.concatenate(
+        [aux4, x0, jnp.zeros((aux4.shape[0], 1))], axis=1
+    )  # (T, 8)
+    edges = chunk_edges(r, spec)  # (n_ch, t_chunk + 1)
+
+    gw = jnp.concatenate([gfeat, channel_weights], axis=1)
+    gw_pad = pad_gather(gw, tiles.full_perm, tiles.inv_perm)
+    patterns = jax.lax.stop_gradient(tiles.words.astype(jnp.float32))
+    table = jnp.concatenate([gw_pad, patterns], axis=1)
+    n_words = tiles.words.shape[1]
+    kb = table.shape[0] // spec.g_tile
+    table3 = table.reshape(kb, spec.g_tile, table.shape[-1])
+
+    out = analytic_rsort_field(
+        xfeat, aux, edges, table3,
+        tiles.fwd_t, tiles.fwd_j, tiles.fwd_b, tiles.fwd_first,
+        tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
+        tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
+        spec, (n_tt, n_pt, n_ch, n_words), interpret,
+    )
+    tp = TileSpec(t_theta=spec.t_theta, t_phi=spec.t_phi, t_r=spec.t_chunk)
+    field = untile_field(out, ns, num_r, tp, n_tt, n_pt, n_ch)
+    widths = (edges[:, 1:] - edges[:, :-1]).reshape(-1)[:num_r]
+    field = field / widths[:, None, None, None]
+    return field, tiles.overflowed

@@ -84,7 +84,8 @@ class RenderSettings(NamedTuple):
             apply_volume_y2_factor=cfg.apply_volume_y2_factor,
             backend=(
                 cfg.renderer
-                if cfg.renderer in ("pallas", "pallas_rsort", "analytic")
+                if cfg.renderer in ("pallas", "pallas_rsort", "pallas_analytic",
+                                    "analytic")
                 else "dense"
             ),
             tile_spec=tile_spec,
@@ -329,18 +330,30 @@ def field_response_pallas(
     rho = view_albedo(scene, camera_pos, active_sh_degree)
     gfeat = scene.quadratic_form(settings.scaling_modifier)
 
-    if settings.backend == "pallas_rsort":
+    if settings.backend in ("pallas_rsort", "pallas_analytic"):
         spec = settings.rsort_spec
         tiles = rsort_cull(
             scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
             grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
         )
 
-        def run(w):
-            field, _ = rsort_gaussian_field(
-                gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+        if settings.backend == "pallas_analytic":
+            from nlos_gaussian_renderer_tpu.ops.fused_analytic import (
+                analytic_gaussian_field,
             )
-            return field
+
+            def run(w):
+                field, _ = analytic_gaussian_field(
+                    gfeat, w, grid, tiles, spec, camera_pos
+                )
+                return field
+        else:
+
+            def run(w):
+                field, _ = rsort_gaussian_field(
+                    gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+                )
+                return field
     else:
         spec = settings.tile_spec
         tiles = cull_tiles(
@@ -407,14 +420,14 @@ def check_culling_capacity(
         camera_pos, box_points, settings.num_sampling_points,
         settings.start, settings.end, c, delta_t,
     )
-    if settings.backend == "pallas_rsort":
+    if settings.backend in ("pallas_rsort", "pallas_analytic"):
         t = rsort_cull(
             scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
             grid.theta, grid.phi, grid.r, settings.rsort_spec,
             settings.scaling_modifier,
         )
         return {
-            "backend": "pallas_rsort",
+            "backend": settings.backend,
             "overflowed": bool(t.overflowed),
             "max_count": int(jnp.max(t.counts)),
             "n_groups": int(t.n_groups),
@@ -471,7 +484,9 @@ def render_transient(
     )
     overflow = jnp.asarray(False)
     aggregate_ok = not settings.occlusion or settings.occlusion_mode == "aggregate"
-    if settings.backend in ("pallas", "pallas_rsort") and aggregate_ok:
+    if settings.backend in (
+        "pallas", "pallas_rsort", "pallas_analytic"
+    ) and aggregate_ok:
         out, overflow = field_response_pallas(
             scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
             gauss_axis=gauss_axis,

@@ -298,7 +298,7 @@ def fit_culling_capacity(
     (`prepare_training`) passes grow_only=False to size them tightly.
     Backends without static capacities return unchanged settings.
     """
-    if settings.backend == "pallas_rsort":
+    if settings.backend in ("pallas_rsort", "pallas_analytic"):
         from nlos_gaussian_renderer_tpu.ops.fused_rsort import tune_rsort_spec
 
         cur = settings.rsort_spec
@@ -389,7 +389,7 @@ def prepare_training(
         settings, scene, probes, box_points, data.c, data.deltaT,
         grow_only=False,
     )
-    if settings.backend in ("pallas", "pallas_rsort"):
+    if settings.backend in ("pallas", "pallas_rsort", "pallas_analytic"):
         from nlos_gaussian_renderer_tpu.ops.render import check_culling_capacity
 
         diag = check_culling_capacity(
@@ -455,7 +455,7 @@ def fit(
                 settings, optim, tx, cfg.sh_degree, seed=cfg.rng
             )
             retunes += 1
-            if settings.backend == "pallas_rsort":
+            if settings.backend in ("pallas_rsort", "pallas_analytic"):
                 caps = settings.rsort_spec
                 print(
                     "culling capacities re-tuned: "

@@ -1,0 +1,146 @@
+"""Parity + gradient tests for the Pallas erf-section (analytic) backend.
+
+The kernel must reproduce the chunked-jnp analytic backend (`ops/analytic.py`)
+— same closed-form per-bin integrals — through the rsort culling machinery,
+and its custom_vjp must match `jax.grad` of that dense analytic path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nlos_gaussian_renderer_tpu.models.scene import GaussianScene, init_scene
+from nlos_gaussian_renderer_tpu.ops import math as gmath
+from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec
+from nlos_gaussian_renderer_tpu.ops.render import (
+    RenderSettings,
+    mse_loss,
+    render_transient,
+)
+
+VOL_POS = jnp.array([0.0, 1.0, 0.0])
+VOL_SIZE = 0.6
+C, DT = 1.0, 0.01
+BOX = gmath.volume_box_points(VOL_POS, VOL_SIZE)
+CAM = jnp.array([0.05, 0.0, -0.1])
+
+SPEC = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, g_tile=32, w_max=256,
+                 max_groups=16)
+SETTINGS = RenderSettings(
+    num_sampling_points=8, start=60, end=140, backend="pallas_analytic",
+    rsort_spec=SPEC,
+)
+ANALYTIC = SETTINGS._replace(backend="analytic")
+DENSE = SETTINGS._replace(backend="dense")
+
+
+def make_scene(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.asarray(VOL_POS) + rng.uniform(-0.25, 0.25, size=(n, 3))
+    scene = init_scene(
+        pts.astype(np.float32),
+        rng.uniform(0.2, 0.8, size=(n, 1)).astype(np.float32),
+        np.asarray(VOL_POS) - VOL_SIZE / 2, np.asarray(VOL_POS) + VOL_SIZE / 2,
+        max_sh_degree=1, knn_scale_init=False,
+    )
+    return GaussianScene(
+        means=scene.means,
+        log_scales=jnp.asarray(rng.uniform(-4.0, -2.5, (n, 3)), jnp.float32),
+        quats=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        logit_opacities=jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
+        sh_dc=scene.sh_dc,
+        sh_rest=0.1 * jnp.asarray(rng.normal(size=scene.sh_rest.shape), jnp.float32),
+        alive=scene.alive,
+    )
+
+
+class TestAnalyticKernelParity:
+    @pytest.mark.parametrize("occ", [False, True])
+    def test_histogram_parity_vs_chunked_analytic(self, occ):
+        """Kernel vs the dense chunked-jnp erf path: same math, so agreement
+        is numerical (+ the 3-sigma culling tail)."""
+        scene = make_scene(48, seed=3)
+        s_k = SETTINGS._replace(occlusion=occ)
+        s_a = ANALYTIC._replace(occlusion=occ)
+        _, hk, ov = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_k)
+        _, ha, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_a)
+        assert not bool(ov)
+        np.testing.assert_allclose(hk, ha, rtol=3e-3, atol=1e-9)
+
+    def test_histogram_close_to_numerical_dense(self):
+        """Exact bin integrals vs 1-sample-per-bin quadrature: physical
+        agreement at the <1% level the analytic suite enforces."""
+        scene = make_scene(48, seed=4)
+        _, hk, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
+        _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, DENSE)
+        rel = float(
+            jnp.linalg.norm(hk - hd) / (jnp.linalg.norm(hd) + 1e-12)
+        )
+        assert rel < 1e-2, rel
+
+    def test_gradient_parity_vs_analytic(self):
+        scene = make_scene(32, seed=5)
+        target = jnp.ones(SETTINGS.num_bins) * 0.1
+
+        def loss(sc, st):
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        gk = jax.grad(lambda sc: loss(sc, SETTINGS))(scene)
+        ga = jax.grad(lambda sc: loss(sc, ANALYTIC))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities", "sh_dc"):
+            a, b = np.asarray(getattr(gk, name)), np.asarray(getattr(ga, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
+                                       err_msg=name)
+
+    def test_occlusion_gradient_finite(self):
+        scene = make_scene(24, seed=6)
+        target = jnp.ones(SETTINGS.num_bins) * 0.1
+        s = SETTINGS._replace(occlusion=True)
+
+        def loss(sc):
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, s)
+            return mse_loss(h, target)[0]
+
+        g = jax.grad(loss)(scene)
+        for leaf in jax.tree.leaves(g):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+    def test_overflow_flag_reaches_output(self):
+        scene = make_scene(48, seed=7)
+        tight = SETTINGS._replace(rsort_spec=SPEC._replace(w_max=2))
+        _, _, ov = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, tight)
+        assert bool(ov)
+
+
+class TestRayFeatures:
+    def test_tile_order_matches_grid(self):
+        from nlos_gaussian_renderer_tpu.ops.fused_analytic import (
+            analytic_ray_features,
+        )
+        from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+        grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        xf = analytic_ray_features(grid.theta, grid.phi, SPEC)
+        n_pt = 8 // SPEC.t_phi
+        # Tile t = tt * n_pt + pt holds rays (tt*t_theta + i, pt*t_phi + j)
+        # flattened (i, j); check one interior entry against the raw grid.
+        tt, pt, i, j = 1, 0, 2, 3
+        th = float(grid.theta[tt * SPEC.t_theta + i])
+        ph = float(grid.phi[pt * SPEC.t_phi + j])
+        expect = np.array(
+            [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)]
+        )
+        got = np.asarray(xf[tt * n_pt + pt, i * SPEC.t_phi + j, :3])
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
+        # mon2 columns are consistent with the direction columns.
+        w = got
+        mon2 = np.asarray(xf[tt * n_pt + pt, i * SPEC.t_phi + j, 3:9])
+        np.testing.assert_allclose(
+            mon2,
+            [w[0] ** 2, w[1] ** 2, w[2] ** 2, w[0] * w[1], w[0] * w[2],
+             w[1] * w[2]],
+            rtol=1e-5,
+        )

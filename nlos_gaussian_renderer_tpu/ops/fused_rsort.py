@@ -486,6 +486,20 @@ def _rs_fwd_kernel(ft, fj, fb, first, cnt, cx, x_ref, gw_ref, out_ref,
 
 def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
                    dgw_ref, *, t_ang, n_c, n_words):
+    """Backward via the rank-C factorization of the cotangent chain.
+
+    With y_c[a, f] = go[a, c] * x[a, f] (an (S, F) array — F = 20x cheaper
+    than any per-(sample, gaussian) temporary), both gradients fall out of
+    ONE contraction Z_c = p^T @ y_c:
+        dg'[k, f] = -0.5 * sum_c w_c[k] * Z_c[k, f],
+        dw_c[k]   = Z_c[k, 9]          (monomial column 9 is the constant 1).
+    This removes the old (S, K) dm materialization, its hi/lo splits, and
+    the per-pair mask chain — the VPU cost per pair drops from ~12 ops to
+    ~5 (max, exp, p splits). The m > 0 clamp mask on dm is dropped
+    deliberately: the dense reference path never clamps, so the unmasked
+    cotangent is the closer match (the clamp only guards f32 noise at the
+    Gaussian peak where the true gradient vanishes anyway).
+    """
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -504,33 +518,29 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
         smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
         m = _maha_centered_bf16(x_hi, x_lo, gp)
         p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
-        # dw[k, c] = sum_a p[a, k] go[a, c] — MXU (M = 2C pads to 8 sublanes)
-        # beats a per-channel VPU sublane reduction; bf16x3-style split with
-        # the go_hi/go_lo halves packed into one pass.
         p_hi, p_lo = _split_hi_lo(p)
-        go_hi, go_lo = _split_hi_lo(go_ref[0])  # (S, C)
-        go_cat = jnp.concatenate([go_hi, go_lo], axis=1)  # (S, 2C)
-        t1 = _bf16_dot(go_cat, p_hi, ((0,), (0,)))  # (2C, K)
-        dw = t1[:n_c] + t1[n_c:] + _bf16_dot(go_hi, p_lo, ((0,), (0,)))
-        dw = dw * smask[None, :]
-        w0 = gw[:, FDIM] * smask
-        wg = go_ref[0, :, 0][:, None] * w0[None, :]
-        for c in range(1, n_c):
-            wc = gw[:, FDIM + c] * smask
-            wg += go_ref[0, :, c][:, None] * wc[None, :]
-        dm = jnp.where(m > 0.0, -0.5 * p * wg, 0.0)
-        # dg'[k, f] = sum_a dm[a, k] x[a, f] — bf16x3 over the (large,
-        # unpadded) S contraction in TWO passes: [x_hi | x_lo] share the
-        # first dot's lane padding (N = 20 <= 128), the lo x hi term needs
-        # its own pass.
-        dm_hi, dm_lo = _split_hi_lo(dm)
-        both = _bf16_dot(dm_hi, x_ref[0], ((0,), (0,)))  # (K, 2*FDIM)
-        dgp = both[:, :FDIM] + both[:, FDIM:] + _bf16_dot(
-            dm_lo, x_hi, ((0,), (0,))
-        )
-        dg = _center_transform_t(dgp, x0, y0, z0)
+        xf32 = x_hi.astype(jnp.float32) + x_lo.astype(jnp.float32)  # (S, F)
+        ys = [
+            go_ref[0, :, c][:, None] * xf32 for c in range(n_c)
+        ]  # C x (S, F)
+        ycat = jnp.concatenate(ys, axis=1)  # (S, C*F)
+        y_hi, y_lo = _split_hi_lo(ycat)
+        # Z = p^T ycat, bf16x3 over the S contraction in two passes
+        # ([y_hi | y_lo] share the first dot's lane padding, 2CF <= 128).
+        both = _bf16_dot(p_hi, jnp.concatenate([y_hi, y_lo], axis=1),
+                         ((0,), (0,)))  # (K, 2*C*F)
+        cf = n_c * FDIM
+        z = both[:, :cf] + both[:, cf:] + _bf16_dot(p_lo, y_hi, ((0,), (0,)))
+        dgp = jnp.zeros((z.shape[0], FDIM), jnp.float32)
+        dw_cols = []
+        for c in range(n_c):
+            zc = z[:, c * FDIM:(c + 1) * FDIM]
+            dgp = dgp - 0.5 * gw[:, FDIM + c][:, None] * zc
+            dw_cols.append(zc[:, FDIM - 1] * smask)
+        dg = _center_transform_t(dgp, x0, y0, z0) * smask[:, None]
+        dw = jnp.stack(dw_cols, axis=1)
         zero_pat = jnp.zeros((dg.shape[0], n_words), jnp.float32)
-        dgw_ref[0] += jnp.concatenate([dg, dw.T, zero_pat], axis=1)
+        dgw_ref[0] += jnp.concatenate([dg, dw, zero_pat], axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))

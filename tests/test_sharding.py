@@ -121,6 +121,7 @@ class TestShardedBackends:
     @pytest.mark.parametrize("backend,occ", [
         ("analytic", False), ("analytic", True), ("pallas", True),
         ("pallas_rsort", False), ("pallas_rsort", True),
+        ("pallas_analytic", False), ("pallas_analytic", True),
     ])
     def test_gauss_sharded_matches_unsharded(self, setup, backend, occ):
         # Gaussian-sharded rendering must be exact for Gaussian-sum fields.

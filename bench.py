@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--t-phi", type=int, default=None)
     ap.add_argument("--t-chunk", type=int, default=None)
     ap.add_argument("--g-tile", type=int, default=None)
+    ap.add_argument("--bwd-bf16", action="store_true",
+                    help="single-pass bf16 backward contraction")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(analyze with tools/trace_report.py DIR --steps N)")
@@ -129,6 +131,7 @@ def main():
             k: v for k, v in (
                 ("t_theta", args.t_theta), ("t_phi", args.t_phi),
                 ("t_chunk", args.t_chunk), ("g_tile", args.g_tile),
+                ("bwd_p_bf16", args.bwd_bf16 or None),
             ) if v is not None
         }
         if overrides:

@@ -83,6 +83,10 @@ class RSortSpec(NamedTuple):
     max_groups: int = 64  # pattern-group capacity (excess groups merge)
     sigma_cull: float = 3.0
     margin: float = 1.1
+    # Backward-kernel precision: True runs the Z = p^T @ (go*x) contraction
+    # with single-pass bf16 operands (~4e-3 relative on gradients — inside
+    # SGD noise) instead of hi/lo splits. Forward output is unaffected.
+    bwd_p_bf16: bool = False
 
 
 class RSortTiles(NamedTuple):
@@ -184,21 +188,46 @@ def rsort_cull(
     # --- (pattern, d) sort; empty patterns (dead / out of window) last ------
     empty = ~jnp.any(mask, axis=1)
     key0 = jnp.where(empty, jnp.int32(1 << _WORD_BITS), words[:, 0])
-    sort_ops = (
-        (key0,)
-        + tuple(words[:, p] for p in range(1, n_words))
-        + (d, jnp.arange(g, dtype=jnp.int32))
-    )
-    sorted_ops = jax.lax.sort(sort_ops, num_keys=n_words + 1)
-    perm = sorted_ops[-1]  # (G,) sorted row -> original row
-    # Validity comes from the sentinel in the sorted key itself (a gather of
-    # `empty[perm]` costs a row-bound 0.7 ms at 100k; this is free).
-    valid_s = sorted_ops[0] < (1 << _WORD_BITS)
-    words_s = jnp.stack(
-        [jnp.where(valid_s, sorted_ops[0], 0)]
-        + [sorted_ops[p] for p in range(1, n_words)],
-        axis=1,
-    )  # (G, P) with empty rows zeroed
+    dq_bits = 30 - (t_ang + 1)
+    if n_words == 1 and dq_bits >= 10:
+        # Single packed int32 key: (pattern | compact sentinel 1<<t_ang) in
+        # the high bits, quantized d in the low bits. d is ONLY a sort key
+        # here (it tightens per-block radial intervals; correctness never
+        # depends on its resolution — >= 10 bits over the d range is
+        # ~0.1 mm at scene scale, far below sigma). Halves the sort
+        # operands: ~2x cheaper at 100k rows.
+        dq_bits = min(dq_bits, 16)
+        d_lo = jnp.min(d)
+        d_span = jnp.maximum(jnp.max(d) - d_lo, 1e-6)
+        dq = jnp.clip(
+            ((d - d_lo) / d_span * ((1 << dq_bits) - 1)).astype(jnp.int32),
+            0, (1 << dq_bits) - 1,
+        )
+        key_c = jnp.where(empty, jnp.int32(1 << t_ang), words[:, 0])
+        packed = key_c * (1 << dq_bits) + dq
+        sorted_ops = jax.lax.sort(
+            (packed, jnp.arange(g, dtype=jnp.int32)), num_keys=1
+        )
+        perm = sorted_ops[-1]
+        key_s = sorted_ops[0] // (1 << dq_bits)
+        valid_s = key_s < (1 << t_ang)
+        words_s = jnp.where(valid_s, key_s, 0)[:, None]  # (G, 1)
+    else:
+        sort_ops = (
+            (key0,)
+            + tuple(words[:, p] for p in range(1, n_words))
+            + (d, jnp.arange(g, dtype=jnp.int32))
+        )
+        sorted_ops = jax.lax.sort(sort_ops, num_keys=n_words + 1)
+        perm = sorted_ops[-1]  # (G,) sorted row -> original row
+        # Validity comes from the sentinel in the sorted key itself (a gather
+        # of `empty[perm]` costs a row-bound 0.7 ms at 100k; this is free).
+        valid_s = sorted_ops[0] < (1 << _WORD_BITS)
+        words_s = jnp.stack(
+            [jnp.where(valid_s, sorted_ops[0], 0)]
+            + [sorted_ops[p] for p in range(1, n_words)],
+            axis=1,
+        )  # (G, P) with empty rows zeroed
 
     # --- block-aligned group layout -----------------------------------------
     iota = jnp.arange(g, dtype=jnp.int32)
@@ -485,7 +514,7 @@ def _rs_fwd_kernel(ft, fj, fb, first, cnt, cx, x_ref, gw_ref, out_ref,
 
 
 def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
-                   dgw_ref, *, t_ang, n_c, n_words):
+                   dgw_ref, *, t_ang, n_c, n_words, p_bf16=False):
     """Backward via the rank-C factorization of the cotangent chain.
 
     With y_c[a, f] = go[a, c] * x[a, f] (an (S, F) array — F = 20x cheaper
@@ -517,20 +546,27 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
         x_lo = x_ref[0][:, FDIM:]
         smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
         m = _maha_centered_bf16(x_hi, x_lo, gp)
-        p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
-        p_hi, p_lo = _split_hi_lo(p)
         xf32 = x_hi.astype(jnp.float32) + x_lo.astype(jnp.float32)  # (S, F)
         ys = [
             go_ref[0, :, c][:, None] * xf32 for c in range(n_c)
         ]  # C x (S, F)
         ycat = jnp.concatenate(ys, axis=1)  # (S, C*F)
-        y_hi, y_lo = _split_hi_lo(ycat)
-        # Z = p^T ycat, bf16x3 over the S contraction in two passes
-        # ([y_hi | y_lo] share the first dot's lane padding, 2CF <= 128).
-        both = _bf16_dot(p_hi, jnp.concatenate([y_hi, y_lo], axis=1),
-                         ((0,), (0,)))  # (K, 2*C*F)
         cf = n_c * FDIM
-        z = both[:, :cf] + both[:, cf:] + _bf16_dot(p_lo, y_hi, ((0,), (0,)))
+        if p_bf16:
+            # Single-pass variant: p and y in plain bf16 (no splits). The
+            # ~2^-8 relative error lands on gradients only.
+            p16 = jnp.exp(-0.5 * jnp.maximum(m, 0.0)).astype(jnp.bfloat16)
+            z = _bf16_dot(p16, ycat.astype(jnp.bfloat16), ((0,), (0,)))
+        else:
+            p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+            p_hi, p_lo = _split_hi_lo(p)
+            y_hi, y_lo = _split_hi_lo(ycat)
+            # Z = p^T ycat, bf16x3 over the S contraction in two passes
+            # ([y_hi | y_lo] share the first dot's lane padding, 2CF <= 128).
+            both = _bf16_dot(p_hi, jnp.concatenate([y_hi, y_lo], axis=1),
+                             ((0,), (0,)))  # (K, 2*C*F)
+            z = (both[:, :cf] + both[:, cf:]
+                 + _bf16_dot(p_lo, y_hi, ((0,), (0,))))
         dgp = jnp.zeros((z.shape[0], FDIM), jnp.float32)
         dw_cols = []
         for c in range(n_c):
@@ -656,7 +692,8 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
 
     dtable = pl.pallas_call(
         functools.partial(
-            _rs_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words
+            _rs_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
+            p_bf16=spec.bwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,

@@ -154,6 +154,29 @@ class TestRSortParity:
             np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
                                        err_msg=name)
 
+    def test_gradient_parity_bf16_bwd(self):
+        """The single-pass bf16 backward variant tracks the dense gradients
+        at ~bf16 resolution (forward output is untouched by the flag)."""
+        scene = make_scene(32, seed=4)
+        target = jnp.ones(SETTINGS.num_bins) * 0.1
+        s16 = SETTINGS._replace(rsort_spec=SPEC._replace(bwd_p_bf16=True))
+
+        def loss(sc, st):
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        g16 = jax.grad(lambda sc: loss(sc, s16))(scene)
+        gd = jax.grad(lambda sc: loss(sc, DENSE))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities", "sh_dc"):
+            a, b = np.asarray(getattr(g16, name)), np.asarray(getattr(gd, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                       err_msg=name)
+        # And the forward histogram is bit-level unaffected by the flag.
+        _, h16, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s16)
+        _, h32, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
+        np.testing.assert_array_equal(np.asarray(h16), np.asarray(h32))
+
     def test_matches_pallas_tile_backend(self):
         from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
 

@@ -35,7 +35,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--backend", default="pallas_rsort",
-                    choices=["pallas", "pallas_rsort", "dense"])
+                    choices=["pallas", "pallas_rsort", "pallas_analytic",
+                             "dense"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--k-max", type=int, default=16384)
     ap.add_argument("--sigma-min", type=float, default=0.002)
@@ -45,10 +46,15 @@ def main():
     ap.add_argument("--sigma-max", type=float, default=0.012)
     ap.add_argument("--t-theta", type=int, default=None)
     ap.add_argument("--t-phi", type=int, default=None)
-    ap.add_argument("--t-chunk", type=int, default=None)
+    ap.add_argument("--t-chunk", type=int, default=32)
     ap.add_argument("--g-tile", type=int, default=None)
-    ap.add_argument("--bwd-bf16", action="store_true",
-                    help="single-pass bf16 backward contraction")
+    ap.add_argument("--bwd-bf16", action="store_true", default=True,
+                    help="single-pass bf16 backward contraction "
+                         "(default on; ~4e-3 relative on gradients)")
+    ap.add_argument("--no-bwd-bf16", dest="bwd_bf16",
+                    action="store_false")
+    ap.add_argument("--fwd-bf16", action="store_true",
+                    help="bf16 MXU forward channel contraction")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(analyze with tools/trace_report.py DIR --steps N)")
@@ -120,7 +126,7 @@ def main():
         backend=args.backend,
         tile_spec=TileSpec(t_theta=8, t_phi=16, t_r=64, k_max=args.k_max),
     )
-    if args.backend == "pallas_rsort" and args.auto_caps:
+    if args.backend in ("pallas_rsort", "pallas_analytic") and args.auto_caps:
         from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
             RSortSpec,
             tune_rsort_spec,
@@ -132,6 +138,7 @@ def main():
                 ("t_theta", args.t_theta), ("t_phi", args.t_phi),
                 ("t_chunk", args.t_chunk), ("g_tile", args.g_tile),
                 ("bwd_p_bf16", args.bwd_bf16 or None),
+                ("fwd_p_bf16", args.fwd_bf16 or None),
             ) if v is not None
         }
         if overrides:

@@ -87,6 +87,11 @@ class RSortSpec(NamedTuple):
     # with single-pass bf16 operands (~4e-3 relative on gradients — inside
     # SGD noise) instead of hi/lo splits. Forward output is unaffected.
     bwd_p_bf16: bool = False
+    # Forward-kernel precision: True accumulates the per-channel field with
+    # a single bf16 MXU pass over p instead of the per-channel VPU
+    # mul+reduce. Per-term bf16 error (~4e-3) averages down over the K-sized
+    # Gaussian sum: measured ~2e-4 relative on histograms (vs ~5e-5 exact).
+    fwd_p_bf16: bool = False
 
 
 class RSortTiles(NamedTuple):
@@ -489,7 +494,7 @@ def _member_bits(words, t):
 
 
 def _rs_fwd_kernel(ft, fj, fb, first, cnt, cx, x_ref, gw_ref, out_ref,
-                   *, t_ang, n_c, n_words):
+                   *, t_ang, n_c, n_words, p_bf16=False):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -508,9 +513,21 @@ def _rs_fwd_kernel(ft, fj, fb, first, cnt, cx, x_ref, gw_ref, out_ref,
             x_ref[0][:, :FDIM], x_ref[0][:, FDIM:], gp
         )
         p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
-        for c in range(n_c):
-            w = gw[:, FDIM + c] * smask
-            out_ref[0, :, c] += jnp.sum(p * w[None, :], axis=1)
+        if p_bf16:
+            # One bf16 MXU pass replaces the per-channel VPU mul+reduce.
+            # Per-term bf16 error averages down over the K-sized sum
+            # (~2e-4 relative on the field vs ~5e-5 for the exact path).
+            wm = jnp.stack(
+                [gw[:, FDIM + c] * smask for c in range(n_c)], axis=1
+            )  # (K, C) f32 — tiny
+            out_ref[0] += _bf16_dot(
+                p.astype(jnp.bfloat16), wm.astype(jnp.bfloat16),
+                ((1,), (0,)),
+            )
+        else:
+            for c in range(n_c):
+                w = gw[:, FDIM + c] * smask
+                out_ref[0, :, c] += jnp.sum(p * w[None, :], axis=1)
 
 
 def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
@@ -631,7 +648,8 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
 
     out = pl.pallas_call(
         functools.partial(
-            _rs_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words
+            _rs_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
+            p_bf16=spec.fwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=6,

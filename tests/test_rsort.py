@@ -154,6 +154,26 @@ class TestRSortParity:
             np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
                                        err_msg=name)
 
+    def test_histogram_parity_fwd_bf16(self):
+        """bf16 forward channel contraction: per-term bf16 error averages
+        down over the Gaussian sum — histograms stay within ~1e-3 of dense."""
+        scene = make_scene(48, seed=3)
+        s16 = SETTINGS._replace(rsort_spec=SPEC._replace(fwd_p_bf16=True))
+        _, h16, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s16)
+        _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, DENSE)
+        rel = float(jnp.linalg.norm(h16 - hd) / (jnp.linalg.norm(hd) + 1e-12))
+        assert rel < 2e-3, rel
+        # Occlusion path (C=2) too.
+        s16o = s16._replace(occlusion=True)
+        _, h16o, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s16o)
+        _, hdo, _ = render_transient(
+            scene, CAM, BOX, C, DT, VOL_POS, 1, DENSE._replace(occlusion=True)
+        )
+        rel = float(
+            jnp.linalg.norm(h16o - hdo) / (jnp.linalg.norm(hdo) + 1e-12)
+        )
+        assert rel < 2e-3, rel
+
     def test_gradient_parity_bf16_bwd(self):
         """The single-pass bf16 backward variant tracks the dense gradients
         at ~bf16 resolution (forward output is untouched by the flag)."""

@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--backend", default="pallas_rsort",
                     choices=["pallas", "pallas_rsort", "pallas_analytic",
-                             "dense"])
+                             "pallas_dsort", "dense"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--k-max", type=int, default=16384)
     ap.add_argument("--sigma-min", type=float, default=0.002)
@@ -126,13 +126,19 @@ def main():
         backend=args.backend,
         tile_spec=TileSpec(t_theta=8, t_phi=16, t_r=64, k_max=args.k_max),
     )
-    if args.backend in ("pallas_rsort", "pallas_analytic") and args.auto_caps:
+    if args.backend in (
+        "pallas_rsort", "pallas_analytic", "pallas_dsort"
+    ) and args.auto_caps:
+        from nlos_gaussian_renderer_tpu.ops.fused_dsort import tune_dsort_spec
         from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
             RSortSpec,
             tune_rsort_spec,
         )
 
-        base = RSortSpec()
+        dsort = args.backend == "pallas_dsort"
+        # dsort's whole point is FINE angular tiles (duplication makes
+        # blocks tile-pure); default 4x4 rays unless overridden.
+        base = RSortSpec(t_theta=4, t_phi=4) if dsort else RSortSpec()
         overrides = {
             k: v for k, v in (
                 ("t_theta", args.t_theta), ("t_phi", args.t_phi),
@@ -146,10 +152,16 @@ def main():
         probe_cams = np.stack(
             [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
         ).astype(np.float32)
-        spec = tune_rsort_spec(
+        tune = tune_dsort_spec if dsort else tune_rsort_spec
+        spec = tune(
             scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base
         )
-        log(f"auto-tuned rsort caps: max_groups={spec.max_groups} w_max={spec.w_max}")
+        if dsort:
+            log(f"auto-tuned dsort caps: d_max={spec.d_max} "
+                f"dup_rows={spec.dup_rows} w_max={spec.w_max}")
+        else:
+            log(f"auto-tuned rsort caps: max_groups={spec.max_groups} "
+                f"w_max={spec.w_max}")
         settings = settings._replace(rsort_spec=spec)
     optim = OptimizationParams()
     tx = make_optimizer(optim)

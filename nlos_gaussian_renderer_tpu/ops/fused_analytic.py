@@ -497,7 +497,9 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
         interpret=interp,
     )(bwd_t, bwd_j, bwd_b, bwd_first, n_items, aux, edges,
       xfeat, table, go)
-    dtable = dtable * blk_has_work[:, None, None]
+    # `where`, not multiply: unvisited blocks are uninitialized memory and
+    # NaN * 0 = NaN (see fused_rsort._rsort_vjp_bwd).
+    dtable = jnp.where(blk_has_work[:, None, None], dtable, 0.0)
     return (None, None, None, dtable) + (None,) * 11
 
 

@@ -31,8 +31,8 @@ pipeline `submodules/cuda-renderer/cuda/volume_renderer.cu:16-185` +
      directly into global-layout blocks. The gradient "scatter-back" is now
      one cheap inverse-permutation gather.
 
-Per-Gaussian tile membership rides into the kernel as packed 24-bit pattern
-words (extra float32 table columns — exact for ints < 2^24); the kernel
+Per-Gaussian tile membership rides into the kernel as packed 12-bit pattern
+words (extra float32 table columns; see _WORD_BITS for why 12); the kernel
 extracts the current tile's bit on the VPU. Padding slots and dead Gaussians
 carry pattern 0, so slot-validity masking comes free from the same bit.
 
@@ -67,9 +67,13 @@ from nlos_gaussian_renderer_tpu.ops.fused import (
     untile_field,
 )
 
-# Bits per packed pattern word: float32 represents integers exactly up to
-# 2^24, and the in-kernel bit extraction runs on floats.
-_WORD_BITS = 24
+# Bits per packed pattern word. The in-kernel bit extraction computes
+# floor(word * 2^-t) on floats: with 12-bit words the product's mantissa is
+# the word's own 12 bits — always f32-exact. 24-bit words are NOT safe even
+# though the integers themselves are exact: (2^24-1) * 2^-15 lies exactly
+# halfway between two f32 values and ties-to-even rounds it UP to 512.0,
+# flipping the extracted bit (a dense pattern word silently dropped tiles).
+_WORD_BITS = 12
 
 
 class RSortSpec(NamedTuple):
@@ -92,6 +96,10 @@ class RSortSpec(NamedTuple):
     # mul+reduce. Per-term bf16 error (~4e-3) averages down over the K-sized
     # Gaussian sum: measured ~2e-4 relative on histograms (vs ~5e-5 exact).
     fwd_p_bf16: bool = False
+    # Duplicated-layout (dsort) capacities: max tile duplicates per Gaussian
+    # and the padded-table row capacity (0 = worst case G * d_max).
+    d_max: int = 8
+    dup_rows: int = 0
 
 
 class RSortTiles(NamedTuple):
@@ -125,17 +133,20 @@ def _padded_rows(g: int, spec: RSortSpec) -> int:
     return pl.cdiv(g, spec.g_tile) * spec.g_tile + spec.max_groups * spec.g_tile
 
 
-def rsort_cull(
+def angular_footprints(
     means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
     scaling_modifier: float = 1.0,
-) -> RSortTiles:
+):
+    """Per-Gaussian (d, radius, m_th, m_ph, in_window) footprint geometry.
+
+    m_th (G, n_tt) / m_ph (G, n_pt) mark which theta/phi tile rows the
+    Gaussian's 3-sigma cull sphere can touch (CONTIGUOUS interval per axis —
+    degenerate footprints mark the whole axis). Shared by the pattern-sorted
+    (rsort) and duplicated-layout (dsort) culls.
+    """
     ns = theta.shape[0]
-    num_r = r.shape[0]
     n_tt = pl.cdiv(ns, spec.t_theta)
     n_pt = pl.cdiv(ns, spec.t_phi)
-    n_ch = pl.cdiv(num_r, spec.t_chunk)
-    t_ang = n_tt * n_pt
-    g = means.shape[0]
 
     rel = means - jnp.asarray(cam)[None, :]
     sph = gmath.cartesian_to_spherical(rel)
@@ -175,12 +186,30 @@ def rsort_cull(
     m_th = overlap(th_lo, th_hi, theta, spec.t_theta, n_tt) | full_th[:, None]
     m_ph = overlap(ph_lo, ph_hi, phi, spec.t_phi, n_pt) | full_ph[:, None]
     in_window = (d - radius <= r[-1]) & (d + radius >= r[0]) & (radius >= 0.0)
+    return d, radius, m_th, m_ph, in_window
+
+
+def rsort_cull(
+    means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
+    scaling_modifier: float = 1.0,
+) -> RSortTiles:
+    ns = theta.shape[0]
+    num_r = r.shape[0]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    n_ch = pl.cdiv(num_r, spec.t_chunk)
+    t_ang = n_tt * n_pt
+    g = means.shape[0]
+
+    d, radius, m_th, m_ph, in_window = angular_footprints(
+        means, scales, alive, cam, theta, phi, r, spec, scaling_modifier
+    )
     mask = (
         m_th[:, :, None] & m_ph[:, None, :] & in_window[:, None, None]
     ).reshape(g, t_ang)
     counts = jnp.sum(mask.astype(jnp.int32), axis=0)  # (T_ang,) diagnostics
 
-    # Pack tile membership into 24-bit words (float32-exact in the kernel).
+    # Pack tile membership into 12-bit words (float32-exact extraction).
     n_words = pl.cdiv(t_ang, _WORD_BITS)
     bits_pad = jnp.pad(
         mask.astype(jnp.int32), ((0, 0), (0, n_words * _WORD_BITS - t_ang))
@@ -480,8 +509,9 @@ def _maha_centered_bf16(x_hi, x_lo, gp):
 def _member_bits(words, t):
     """(K,) {0,1} float mask: bit `t` of each row's packed pattern.
 
-    `words` is (K, P) float32 holding exact 24-bit integers; `t` is a traced
-    tile id. floor/mod arithmetic on floats — exact below 2^24.
+    `words` is (K, P) float32 holding 12-bit integers; `t` is a traced
+    tile id. floor/mod arithmetic on floats — exact because word * 2^-b
+    keeps the word's own <= 12-bit mantissa (see _WORD_BITS).
     """
     n_words = words.shape[1]
     tw = t // _WORD_BITS
@@ -728,10 +758,11 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
     )(bwd_t, bwd_j, bwd_b, bwd_first, n_items, centers,
       xfeat, table, go)
     # Global blocks with no work items are never visited: mask their
-    # (uninitialized) gradient rows to zero. This IS the gradient in the
-    # padded global layout — no scatter-back (the caller's inverse-
-    # permutation gather finishes the job).
-    dtable = dtable * blk_has_work[:, None, None]
+    # (uninitialized) gradient rows to zero. Must be a `where`, not a
+    # multiply — uninitialized memory can be NaN, and NaN * 0 = NaN (the
+    # dsort scatter-add backward reads EVERY row, so a poisoned padding row
+    # would corrupt Gaussian 0's gradient).
+    dtable = jnp.where(blk_has_work[:, None, None], dtable, 0.0)
     return (None, None, dtable) + (None,) * 11
 
 

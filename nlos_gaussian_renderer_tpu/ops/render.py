@@ -85,7 +85,7 @@ class RenderSettings(NamedTuple):
             backend=(
                 cfg.renderer
                 if cfg.renderer in ("pallas", "pallas_rsort", "pallas_analytic",
-                                    "analytic")
+                                    "pallas_dsort", "analytic")
                 else "dense"
             ),
             tile_spec=tile_spec,
@@ -330,7 +330,24 @@ def field_response_pallas(
     rho = view_albedo(scene, camera_pos, active_sh_degree)
     gfeat = scene.quadratic_form(settings.scaling_modifier)
 
-    if settings.backend in ("pallas_rsort", "pallas_analytic"):
+    if settings.backend == "pallas_dsort":
+        from nlos_gaussian_renderer_tpu.ops.fused_dsort import (
+            dsort_cull,
+            dsort_gaussian_field,
+        )
+
+        spec = settings.rsort_spec
+        tiles = dsort_cull(
+            scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
+            grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
+        )
+
+        def run(w):
+            field, _ = dsort_gaussian_field(
+                gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+            )
+            return field
+    elif settings.backend in ("pallas_rsort", "pallas_analytic"):
         spec = settings.rsort_spec
         tiles = rsort_cull(
             scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
@@ -420,6 +437,23 @@ def check_culling_capacity(
         camera_pos, box_points, settings.num_sampling_points,
         settings.start, settings.end, c, delta_t,
     )
+    if settings.backend == "pallas_dsort":
+        from nlos_gaussian_renderer_tpu.ops.fused_dsort import dsort_cull
+
+        t = dsort_cull(
+            scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
+            grid.theta, grid.phi, grid.r, settings.rsort_spec,
+            settings.scaling_modifier,
+        )
+        return {
+            "backend": "pallas_dsort",
+            "overflowed": bool(t.overflowed),
+            "max_dups": int(t.max_dups),
+            "d_max": settings.rsort_spec.d_max,
+            "n_rows": int(t.n_rows),
+            "n_items": int(t.n_items[0]),
+            "w_max": settings.rsort_spec.w_max,
+        }
     if settings.backend in ("pallas_rsort", "pallas_analytic"):
         t = rsort_cull(
             scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
@@ -485,7 +519,7 @@ def render_transient(
     overflow = jnp.asarray(False)
     aggregate_ok = not settings.occlusion or settings.occlusion_mode == "aggregate"
     if settings.backend in (
-        "pallas", "pallas_rsort", "pallas_analytic"
+        "pallas", "pallas_rsort", "pallas_analytic", "pallas_dsort"
     ) and aggregate_ok:
         out, overflow = field_response_pallas(
             scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,

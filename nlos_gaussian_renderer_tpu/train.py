@@ -298,6 +298,24 @@ def fit_culling_capacity(
     (`prepare_training`) passes grow_only=False to size them tightly.
     Backends without static capacities return unchanged settings.
     """
+    if settings.backend == "pallas_dsort":
+        from nlos_gaussian_renderer_tpu.ops.fused_dsort import tune_dsort_spec
+
+        cur = settings.rsort_spec
+        fitted = tune_dsort_spec(
+            scene, probe_cams, box_points, settings.num_sampling_points,
+            settings.start, settings.end, c, delta_t, base=cur,
+            scaling_modifier=settings.scaling_modifier,
+        )
+        if grow_only:
+            new = cur._replace(
+                d_max=max(cur.d_max, fitted.d_max),
+                dup_rows=max(cur.dup_rows, fitted.dup_rows),
+                w_max=max(cur.w_max, fitted.w_max),
+            )
+        else:
+            new = fitted
+        return settings._replace(rsort_spec=new), new != cur
     if settings.backend in ("pallas_rsort", "pallas_analytic"):
         from nlos_gaussian_renderer_tpu.ops.fused_rsort import tune_rsort_spec
 
@@ -389,7 +407,8 @@ def prepare_training(
         settings, scene, probes, box_points, data.c, data.deltaT,
         grow_only=False,
     )
-    if settings.backend in ("pallas", "pallas_rsort", "pallas_analytic"):
+    if settings.backend in ("pallas", "pallas_rsort", "pallas_analytic",
+                            "pallas_dsort"):
         from nlos_gaussian_renderer_tpu.ops.render import check_culling_capacity
 
         diag = check_culling_capacity(
@@ -455,7 +474,8 @@ def fit(
                 settings, optim, tx, cfg.sh_degree, seed=cfg.rng
             )
             retunes += 1
-            if settings.backend in ("pallas_rsort", "pallas_analytic"):
+            if settings.backend in ("pallas_rsort", "pallas_analytic",
+                                    "pallas_dsort"):
                 caps = settings.rsort_spec
                 print(
                     "culling capacities re-tuned: "

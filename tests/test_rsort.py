@@ -7,7 +7,11 @@ import pytest
 
 from nlos_gaussian_renderer_tpu.models.scene import GaussianScene, init_scene
 from nlos_gaussian_renderer_tpu.ops import math as gmath
-from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec, rsort_cull
+from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+    _WORD_BITS,
+    RSortSpec,
+    rsort_cull,
+)
 from nlos_gaussian_renderer_tpu.ops.render import (
     RenderSettings,
     mse_loss,
@@ -90,7 +94,7 @@ class TestRSortCull:
             j = min(int((d - r[0]) / (SPEC.t_chunk * (r[1] - r[0]))), n_ch - 1)
             slot = int(inv[g])
             assert slot < words.shape[0], (g, t)  # not culled
-            bit = (words[slot, t // 24] >> (t % 24)) & 1
+            bit = (words[slot, t // _WORD_BITS] >> (t % _WORD_BITS)) & 1
             assert bit == 1, (g, t)
             blk = slot // SPEC.g_tile
             assert (t, j, blk) in work, (g, t, j, blk)
@@ -291,7 +295,7 @@ class TestDegenerateFootprints:
         assert slot < words.shape[0], "engulfing gaussian was culled"
         t_ang = int(np.asarray(tiles.counts).shape[0])
         for t in range(t_ang):
-            bit = (words[slot, t // 24] >> (t % 24)) & 1
+            bit = (words[slot, t // _WORD_BITS] >> (t % _WORD_BITS)) & 1
             assert bit == 1, f"tile {t} dropped the engulfing gaussian"
 
     def test_pole_wrapping_gaussian_covers_all_phi_tiles(self):

@@ -55,6 +55,9 @@ def main():
                     action="store_false")
     ap.add_argument("--fwd-bf16", action="store_true",
                     help="bf16 MXU forward channel contraction")
+    ap.add_argument("--scan-chunk", type=int, default=10,
+                    help="train steps per jitted dispatch (lax.scan); "
+                         "1 = classic per-step dispatch")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(analyze with tools/trace_report.py DIR --steps N)")
@@ -166,7 +169,13 @@ def main():
     optim = OptimizationParams()
     tx = make_optimizer(optim)
     state = create_train_state(scene, tx)
-    step = make_train_step(settings, optim, tx, max_sh_degree=0)
+    k = max(args.scan_chunk, 1)
+    if k > 1:
+        from nlos_gaussian_renderer_tpu.train import make_scanned_train_step
+
+        step_k = make_scanned_train_step(settings, optim, tx, max_sh_degree=0)
+    else:
+        step = make_train_step(settings, optim, tx, max_sh_degree=0)
 
     # 256^2 scan grid; one (batch of) scan point(s) per iteration like the
     # reference training loop.
@@ -177,16 +186,27 @@ def main():
     )
     vol = jnp.asarray(volume_position)
 
-    idx = rng.integers(0, cam_grid.shape[0], size=(args.warmup + args.iters, args.batch))
+    n_chunks = -(-args.iters // k)
+    iters = n_chunks * k
+    idx = rng.integers(0, cam_grid.shape[0], size=(k + iters, args.batch))
 
     log("compiling + warmup ...")
     t0 = time.time()
-    for i in range(args.warmup):
-        state, aux = step(
-            state, cam_grid[idx[i]], targets, box, c, delta_t, vol
+    if k > 1:
+        state, (losses, _, _) = step_k(
+            state, cam_grid[idx[:k]], jnp.broadcast_to(
+                targets, (k,) + targets.shape
+            ), box, c, delta_t, vol,
         )
+        last_loss = losses[-1]
+    else:
+        for i in range(k):
+            state, aux = step(
+                state, cam_grid[idx[i]], targets, box, c, delta_t, vol
+            )
+        last_loss = aux.loss
     jax.block_until_ready(state.scene.means)
-    log(f"warmup done in {time.time()-t0:.1f}s; loss={float(aux.loss):.6f}")
+    log(f"warmup done in {time.time()-t0:.1f}s; loss={float(last_loss):.6f}")
 
     import contextlib
 
@@ -196,14 +216,24 @@ def main():
     )
     t0 = time.time()
     with trace_ctx:
-        for i in range(args.warmup, args.warmup + args.iters):
-            state, aux = step(
-                state, cam_grid[idx[i]], targets, box, c, delta_t, vol
-            )
+        if k > 1:
+            tk = jnp.broadcast_to(targets, (k,) + targets.shape)
+            for i in range(n_chunks):
+                state, (losses, _, _) = step_k(
+                    state, cam_grid[idx[k + i * k:k + (i + 1) * k]], tk,
+                    box, c, delta_t, vol,
+                )
+            last_loss = losses[-1]
+        else:
+            for i in range(k, k + iters):
+                state, aux = step(
+                    state, cam_grid[idx[i]], targets, box, c, delta_t, vol
+                )
+            last_loss = aux.loss
         jax.block_until_ready(state.scene.means)
     dt = time.time() - t0
-    ms_per_iter = dt / args.iters * 1000.0 / args.batch
-    assert np.isfinite(float(aux.loss))
+    ms_per_iter = dt / iters * 1000.0 / args.batch
+    assert np.isfinite(float(last_loss))
 
     # Reference training iteration: dense PyTorch, 5k Gaussians, RTX 3090
     # (the only reference path with working gradients).

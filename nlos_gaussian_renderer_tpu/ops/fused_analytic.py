@@ -201,9 +201,22 @@ def _hilo_matmul(x, g):
 _SQRT_2PI = 2.5066282746310002
 _INV_SQRT2 = 0.7071067811865476
 
+# Abramowitz & Stegun 7.1.26 rational-polynomial erf: max abs error 1.5e-7
+# (below f32 resolution of the erf differences we take). Mosaic has NO erf
+# lowering (`NotImplementedError: Unimplemented primitive ... erf` on real
+# hardware — caught by a TPU run; interpret-mode tests can't see it), so the
+# kernel carries its own, built from exp/div/FMA only.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
 
 def _erf(x):
-    return jax.lax.erf(x)
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + _ERF_P * a)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-a * a))
 
 
 def _an_fwd_kernel(ft, fj, fb, first, cnt, aux, edges, xf_ref, gw_ref,

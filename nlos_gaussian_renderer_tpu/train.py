@@ -180,6 +180,22 @@ def make_train_step(
     Signature: step(state, cams (B,3), targets (B,num_r), box_points, c,
                     delta_t, volume_position) -> (state, StepAux)
     """
+    return jax.jit(
+        _unjitted_train_step(
+            settings, optim, tx, max_sh_degree, sh_anneal_interval, seed
+        ),
+        donate_argnums=(0,),
+    )
+
+
+def _unjitted_train_step(
+    settings: RenderSettings,
+    optim: OptimizationParams,
+    tx: optax.GradientTransformation,
+    max_sh_degree: int,
+    sh_anneal_interval: int = 1000,
+    seed: int = 0,
+) -> Callable:
     mu_schedule = expon_lr_schedule(
         lr_init=optim.position_lr_init,
         lr_final=optim.position_lr_final,
@@ -227,7 +243,47 @@ def make_train_step(
             aux,
         )
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return train_step
+
+
+def make_scanned_train_step(
+    settings: RenderSettings,
+    optim: OptimizationParams,
+    tx: optax.GradientTransformation,
+    max_sh_degree: int,
+    sh_anneal_interval: int = 1000,
+    seed: int = 0,
+) -> Callable:
+    """Build a jitted K-step train chunk: one dispatch runs K sequential
+    steps via lax.scan.
+
+    Per-step host dispatch (pytree flattening + enqueue through the remote
+    tunnel) measures ~1.5-2 ms — comparable to the device step itself at
+    100k Gaussians. Scanning K steps inside one call amortizes it away.
+
+    Signature: step_k(state, cams (K, B, 3), targets (K, B, num_r),
+                      box_points, c, delta_t, volume_position)
+               -> (state, (losses (K,), equal_losses (K,), overflow ()))
+    """
+    single = _unjitted_train_step(
+        settings, optim, tx, max_sh_degree, sh_anneal_interval, seed
+    )
+
+    def multi(state, cams_k, targets_k, box_points, c, delta_t,
+              volume_position):
+        def body(st, xs):
+            cams, tgts = xs
+            st2, aux = single(
+                st, cams, tgts, box_points, c, delta_t, volume_position
+            )
+            return st2, (aux.loss, aux.equal_loss, aux.overflow)
+
+        state, (losses, eqs, ofs) = jax.lax.scan(
+            body, state, (cams_k, targets_k)
+        )
+        return state, (losses, eqs, jnp.any(ofs))
+
+    return jax.jit(multi, donate_argnums=(0,))
 
 
 def create_train_state(
@@ -498,6 +554,73 @@ def fit(
     losses, eqs = [], []
     of_acc = jnp.asarray(False)
     densify_key = jax.random.PRNGKey(cfg.rng + 1)
+
+    # Scan-chunked fast path: with no per-iter hooks, run `chunk` steps per
+    # jitted dispatch (per-step host dispatch costs ~1.5-2 ms — comparable
+    # to the device step itself at 100k Gaussians). Chunks align with log
+    # boundaries so logging cadence and recorded losses are unchanged.
+    chunk = 1
+    if callback is None and not optim.mcmc_densification_flag:
+        for cand in (50, 25, 20, 10, 5, 4, 2):
+            if log_every % cand == 0 and num_iters >= cand:
+                chunk = cand
+                break
+    if chunk > 1:
+        step_chunk_fn = make_scanned_train_step(
+            settings, optim, tx, cfg.sh_degree, seed=cfg.rng
+        )
+        t0 = time.time()
+        it = 0
+        while it < num_iters:
+            k = chunk if it + chunk <= num_iters else 1
+            if k > 1:
+                idx = jnp.asarray(
+                    np.stack([next(stream) for _ in range(k)])
+                )  # (k, B)
+                cams, targets = jax.vmap(gather_batch)(idx)
+                state, (ls, es, of) = step_chunk_fn(
+                    state, cams, targets, box_points, data.c, data.deltaT,
+                    vol_pos,
+                )
+                last_loss, last_eq = ls[-1], es[-1]
+                of_acc = jnp.logical_or(of_acc, of)
+            else:
+                idx = jnp.asarray(next(stream))
+                cams, targets = gather_batch(idx)
+                state, aux = step_fn(
+                    state, cams, targets, box_points, data.c, data.deltaT,
+                    vol_pos,
+                )
+                last_loss, last_eq = aux.loss, aux.equal_loss
+                of_acc = jnp.logical_or(of_acc, aux.overflow)
+            it += k
+            if it % log_every == 0 or it == num_iters:
+                losses.append(float(last_loss))
+                eqs.append(float(last_eq))
+                if bool(of_acc):
+                    print(
+                        f"WARNING: culling capacity overflow by iter {it} — "
+                        "re-tuning caps"
+                    )
+                    healed = retune(state)
+                    if healed:
+                        step_chunk_fn = make_scanned_train_step(
+                            settings, optim, tx, cfg.sh_degree, seed=cfg.rng
+                        )
+                    else:
+                        overflow_detected = True
+                    of_acc = jnp.asarray(False)
+        jax.block_until_ready(state.scene.means)
+        dt = time.time() - t0
+        return FitResult(
+            state=state,
+            losses=np.asarray(losses),
+            equal_losses=np.asarray(eqs),
+            iters_per_sec=num_iters / max(dt, 1e-9),
+            overflow_detected=overflow_detected,
+            retunes=retunes,
+        )
+
     t0 = time.time()
     for it in range(num_iters):
         idx = jnp.asarray(next(stream))

@@ -67,6 +67,56 @@ class TestScanStream:
         assert next(stream).shape == (5,)
 
 
+class TestScannedStep:
+    def test_scanned_chunk_matches_sequential(self, tiny_data):
+        """K steps via one lax.scan dispatch == K sequential jitted steps."""
+        import jax
+
+        from nlos_gaussian_renderer_tpu.ops.render import RenderSettings
+        from nlos_gaussian_renderer_tpu.train import (
+            create_train_state,
+            make_optimizer,
+            make_scanned_train_step,
+            make_train_step,
+            prepare_training,
+        )
+
+        data = tiny_data
+        cfg = tiny_config(data, batch_size=2)
+        optim = OptimizationParams()
+        scene, tx, settings, box = prepare_training(cfg, optim, data)
+        vol = jnp.asarray(data.volume_position)
+        k = 4
+        rng = np.random.default_rng(0)
+        idx = rng.integers(0, 16, size=(k, 2))
+        cams_k = jnp.asarray(
+            np.stack([data.camera_grid_positions.T[i] for i in idx])
+        )
+        tgt = data.nlos_data.reshape(64, -1)[cfg.start:cfg.end] * cfg.gt_times
+        tgts_k = jnp.asarray(np.stack([tgt.T[i] for i in idx]))
+
+        step = make_train_step(settings, optim, tx, cfg.sh_degree)
+        st1 = create_train_state(jax.tree.map(jnp.copy, scene), tx)
+        losses_seq = []
+        for i in range(k):
+            st1, aux = step(st1, cams_k[i], tgts_k[i], box, data.c,
+                            data.deltaT, vol)
+            losses_seq.append(float(aux.loss))
+
+        step_k = make_scanned_train_step(settings, optim, tx, cfg.sh_degree)
+        st2 = create_train_state(jax.tree.map(jnp.copy, scene), tx)
+        st2, (losses, eqs, of) = step_k(
+            st2, cams_k, tgts_k, box, data.c, data.deltaT, vol
+        )
+        np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-6)
+        assert not bool(of)
+        np.testing.assert_allclose(
+            np.asarray(st2.scene.means), np.asarray(st1.scene.means),
+            rtol=1e-6, atol=1e-8,
+        )
+        assert int(st2.step) == int(st1.step)
+
+
 class TestFit:
     def test_loss_decreases(self, tiny_data):
         cfg = tiny_config(tiny_data)

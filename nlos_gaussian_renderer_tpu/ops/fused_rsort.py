@@ -859,26 +859,47 @@ def tune_rsort_spec(
 def rsort_gaussian_field(
     gfeat,  # (G, 10)
     channel_weights,  # (G, C)
-    points,  # (num_r, ns, ns, 3)
+    points,  # (num_r, ns, ns, 3) — used only when `grid`/`cam` not given
     tiles: RSortTiles,
     spec: RSortSpec,
     interpret: Optional[bool] = None,
+    grid=None,
+    cam=None,
 ):
-    """Full work-list-sparse field evaluation: (num_r, ns, ns, C) + overflow."""
-    num_r, ns = points.shape[0], points.shape[1]
+    """Full work-list-sparse field evaluation: (num_r, ns, ns, C) + overflow.
+
+    Pass `grid` (ShellGrid) + `cam` to build the tiled sample monomials
+    directly in tile-major order (`tile_points_centered_direct`) — the
+    transpose-based tiler costs ~2 ms/step at 100k-scale."""
+    if grid is not None:
+        num_r, ns = grid.r.shape[0], grid.theta.shape[0]
+    else:
+        num_r, ns = points.shape[0], points.shape[1]
     n_tt = pl.cdiv(ns, spec.t_theta)
     n_pt = pl.cdiv(ns, spec.t_phi)
     n_ch = pl.cdiv(num_r, spec.t_chunk)
 
     # Reuse the (r, theta, phi) tiler at chunk granularity.
-    from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
+    from nlos_gaussian_renderer_tpu.ops.fused import (
+        TileSpec,
+        tile_points_centered_direct,
+    )
 
     tp_spec = TileSpec(
         t_theta=spec.t_theta, t_phi=spec.t_phi, t_r=spec.t_chunk
     )
-    xfeat, centers = tile_points_centered(
-        points, ns, num_r, tp_spec, n_tt, n_pt, n_ch
-    )
+    if grid is not None:
+        xfeat, centers = tile_points_centered_direct(
+            jax.lax.stop_gradient(grid.theta),
+            jax.lax.stop_gradient(grid.phi),
+            jax.lax.stop_gradient(grid.r),
+            jax.lax.stop_gradient(jnp.asarray(cam)),
+            tp_spec, n_tt, n_pt, n_ch,
+        )
+    else:
+        xfeat, centers = tile_points_centered(
+            points, ns, num_r, tp_spec, n_tt, n_pt, n_ch
+        )
 
     gw = jnp.concatenate([gfeat, channel_weights], axis=1)
     # ONE padded-layout gather (backward: ONE inverse gather — no scatter).

@@ -368,7 +368,7 @@ def field_response_pallas(
 
             def run(w):
                 field, _ = rsort_gaussian_field(
-                    gfeat, w, jax.lax.stop_gradient(grid.points), tiles, spec
+                    gfeat, w, None, tiles, spec, grid=grid, cam=camera_pos
                 )
                 return field
     else:

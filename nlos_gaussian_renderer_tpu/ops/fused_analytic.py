@@ -199,7 +199,6 @@ def _hilo_matmul(x, g):
 
 
 _SQRT_2PI = 2.5066282746310002
-_INV_SQRT2 = 0.7071067811865476
 
 # Abramowitz & Stegun 7.1.26 rational-polynomial erf: max abs error 1.5e-7
 # (below f32 resolution of the erf differences we take). Mosaic has NO erf

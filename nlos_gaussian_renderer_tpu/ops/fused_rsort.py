@@ -62,7 +62,6 @@ from nlos_gaussian_renderer_tpu.ops import math as gmath
 from nlos_gaussian_renderer_tpu.ops.fused import (
     FDIM,
     _interpret_default,
-    tile_grid_dims,
     tile_points_centered,
     untile_field,
 )

@@ -338,6 +338,29 @@ class TestDegenerateFootprints:
             )
 
 
+class TestMemberBits:
+    def test_all_patterns_all_positions_exact(self):
+        """The float bit extraction must be exact for EVERY (word, bit)
+        reachable at _WORD_BITS packing. The 24-bit version failed this:
+        (2^24-1) * 2^-15 lands on a round-to-nearest-even tie and flipped
+        bit 15 of dense words — silently dropping a tile's contributions."""
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import _member_bits
+
+        rng = np.random.default_rng(0)
+        n_words = 2
+        n = 512
+        words_int = rng.integers(0, 1 << _WORD_BITS, (n, n_words))
+        # Include the adversarial dense words explicitly.
+        words_int[0] = (1 << _WORD_BITS) - 1
+        words_int[1] = (1 << _WORD_BITS) - 2
+        words_f = jnp.asarray(words_int, jnp.float32)
+        for t in range(n_words * _WORD_BITS):
+            got = np.asarray(_member_bits(words_f, jnp.int32(t)))
+            want = (words_int[:, t // _WORD_BITS] >> (t % _WORD_BITS)) & 1
+            np.testing.assert_array_equal(got, want.astype(np.float32),
+                                          err_msg=f"bit {t}")
+
+
 class TestTakeRowsScatter:
     def test_padded_unique_scatter_grad_matches_plain(self):
         """Zero-padded index lists repeat row 0; the unique-scatter backward

@@ -193,12 +193,12 @@ def main():
     log("compiling + warmup ...")
     t0 = time.time()
     if k > 1:
-        state, (losses, _, _) = step_k(
+        state, auxs = step_k(
             state, cam_grid[idx[:k]], jnp.broadcast_to(
                 targets, (k,) + targets.shape
             ), box, c, delta_t, vol,
         )
-        last_loss = losses[-1]
+        last_loss = auxs.loss[-1]
     else:
         for i in range(k):
             state, aux = step(
@@ -219,11 +219,11 @@ def main():
         if k > 1:
             tk = jnp.broadcast_to(targets, (k,) + targets.shape)
             for i in range(n_chunks):
-                state, (losses, _, _) = step_k(
+                state, auxs = step_k(
                     state, cam_grid[idx[k + i * k:k + (i + 1) * k]], tk,
                     box, c, delta_t, vol,
                 )
-            last_loss = losses[-1]
+            last_loss = auxs.loss[-1]
         else:
             for i in range(k, k + iters):
                 state, aux = step(

@@ -29,10 +29,25 @@ from nlos_gaussian_renderer_tpu.configs.default import Config, OptimizationParam
 from nlos_gaussian_renderer_tpu.data.zaragoza import NLOSData, load_zaragoza256_data
 
 
-def load_or_synthesize(cfg: Config) -> NLOSData:
+def load_or_synthesize(cfg: Config, validate_data: bool = True) -> NLOSData:
     if os.path.exists(cfg.datadir):
         print(f"Loaded: {cfg.datadir}")
-        return load_zaragoza256_data(cfg.datadir)
+        data = load_zaragoza256_data(cfg.datadir)
+        if validate_data:
+            # Real captures have never passed through this pipeline (the
+            # reference's loader/data are absent from its repo): diagnose
+            # schema/axis/units surprises physically before training on
+            # garbage. `--skip-validation` bypasses.
+            from nlos_gaussian_renderer_tpu.data.validate import diagnose
+
+            report = diagnose(data)
+            print(report)
+            if not report.ok:
+                raise SystemExit(
+                    "dataset failed physical validation (see [ERROR] lines "
+                    "above); rerun with --skip-validation to force"
+                )
+        return data
     print(
         f"Dataset {cfg.datadir!r} not found — generating a synthetic confocal "
         "scene (Zaragoza schema)."
@@ -60,8 +75,25 @@ def dump_args(cfg: Config, optim: OptimizationParams) -> None:
                 f.write(f"{k} = {v}\n")
 
 
+def validate_data_cmd(cfg: Config) -> None:
+    """`--mode validate`: schema inventory + physical diagnosis, exit 1 on
+    errors (VERDICT r2 #6 real-capture defense-in-depth)."""
+    from nlos_gaussian_renderer_tpu.data.validate import diagnose, print_schema
+
+    if not os.path.exists(cfg.datadir):
+        raise SystemExit(f"no such file: {cfg.datadir}")
+    print_schema(cfg.datadir)
+    data = load_zaragoza256_data(cfg.datadir)
+    report = diagnose(data)
+    print(report)
+    if not report.ok:
+        raise SystemExit(1)
+    print("dataset OK")
+
+
 def train(cfg: Config, optim: OptimizationParams,
-          num_iters: Optional[int] = None, resume: bool = False) -> None:
+          num_iters: Optional[int] = None, resume: bool = False,
+          validate_data: bool = True) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -77,7 +109,7 @@ def train(cfg: Config, optim: OptimizationParams,
     print("-" * 52)
     dump_args(cfg, optim)
 
-    data = load_or_synthesize(cfg)
+    data = load_or_synthesize(cfg, validate_data=validate_data)
     print(f"deltaT: {data.deltaT}")
 
     init_points = init_rhos = None
@@ -116,9 +148,21 @@ def train(cfg: Config, optim: OptimizationParams,
         else:
             print(f"--resume requested but no checkpoint under {ckpt_dir}")
 
+    # Callback cadence: the gcd of every interval the callback acts on. With
+    # an explicit cadence `fit` keeps its scan-chunked fast path (K device
+    # steps per host dispatch) — per-iteration callbacks would force per-step
+    # dispatch and pay ~1.5-2 ms/step host overhead at 100k Gaussians.
+    import math
+
+    cb_every = math.gcd(cfg.print_interval, cfg.save_model_interval)
+    if cfg.save_fig:
+        cb_every = math.gcd(cb_every, cfg.save_hist_fig_interval)
+    last_cb_step = [0]
+
     def callback(it, state, aux):
         step = it + 1
-        stats = timer.tick()
+        stats = timer.tick(step - last_cb_step[0])
+        last_cb_step[0] = step
         if stats is not None:
             print(
                 f"{step} iter  loss: {float(aux.loss):.6f}  "
@@ -143,7 +187,8 @@ def train(cfg: Config, optim: OptimizationParams,
     # runtime overflow — no CLI pre-check needed.
     t0 = time.time()
     res = fit(cfg, optim, data, num_iters=num_iters, init_points=init_points,
-              init_rhos=init_rhos, callback=callback, init_state=init_state)
+              init_rhos=init_rhos, callback=callback, init_state=init_state,
+              callback_every=cb_every)
     print(
         f"training complete: {res.iters_per_sec:.1f} it/s, "
         f"final loss {res.losses[-1]:.6f}, wall {time.time()-t0:.1f}s"
@@ -208,7 +253,11 @@ def evaluation(cfg: Config, optim: OptimizationParams,
 
 def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=["train", "eval", "both"], default="both")
+    ap.add_argument("--mode", choices=["train", "eval", "both", "validate"],
+                    default="both")
+    ap.add_argument("--skip-validation", action="store_true",
+                    help="train on a real .mat even if physical validation "
+                         "fails")
     ap.add_argument("--iters", type=int, default=None,
                     help="override optimization iteration count")
     ap.add_argument("--load", default=None, help="checkpoint path for eval")
@@ -241,8 +290,12 @@ def main(argv=None) -> None:
     cfg = Config(**overrides)
     optim = OptimizationParams(mcmc_densification_flag=args.densify)
 
+    if args.mode == "validate":
+        validate_data_cmd(cfg)
+        return
     if args.mode in ("train", "both"):
-        train(cfg, optim, num_iters=args.iters, resume=args.resume)
+        train(cfg, optim, num_iters=args.iters, resume=args.resume,
+              validate_data=not args.skip_validation)
     if args.mode in ("eval", "both"):
         evaluation(cfg, optim, load_path=args.load)
 

@@ -556,7 +556,9 @@ def tile_points_centered_direct(theta, phi, r, cam, spec: TileSpec,
     def pad_axis(v, tile, n_tiles):
         extra = n_tiles * tile - v.shape[0]
         if extra:
-            step = v[-1] - v[-2]
+            # Single-sample axes have no spacing to extrapolate from; repeat
+            # the lone value (padded outputs are dropped by untile_field).
+            step = v[-1] - v[-2] if v.shape[0] >= 2 else jnp.zeros((), v.dtype)
             v = jnp.concatenate([v, v[-1] + step * jnp.arange(1, extra + 1)])
         return v.reshape(n_tiles, tile)
 

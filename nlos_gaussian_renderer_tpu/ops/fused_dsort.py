@@ -310,19 +310,32 @@ def tune_dsort_spec(
     n_ch = pl.cdiv(end - start, base.t_chunk)
     kb = _padded_rows(g, probe, t_ang) // base.g_tile
     probe = probe._replace(w_max=max(kb * n_ch, 1))
-    max_items, max_dups, max_rows = 1, 1, 1
-    for cam in np.asarray(camera_positions).reshape(-1, 3):
-        grid = shell_grid(
-            jnp.asarray(cam), box_points, num_sampling_points, start, end,
-            c, delta_t,
-        )
-        t = dsort_cull(
-            scene.means, scene.scales, scene.alive, jnp.asarray(cam),
-            grid.theta, grid.phi, grid.r, probe, scaling_modifier,
-        )
-        max_items = max(max_items, int(t.n_items[0]))
-        max_dups = max(max_dups, int(t.max_dups))
-        max_rows = max(max_rows, int(t.n_rows))
+    def measure(pr):
+        mi, md, mr = 1, 1, 1
+        for cam in np.asarray(camera_positions).reshape(-1, 3):
+            grid = shell_grid(
+                jnp.asarray(cam), box_points, num_sampling_points, start, end,
+                c, delta_t,
+            )
+            t = dsort_cull(
+                scene.means, scene.scales, scene.alive, jnp.asarray(cam),
+                grid.theta, grid.phi, grid.r, pr, scaling_modifier,
+            )
+            mi = max(mi, int(t.n_items[0]))
+            md = max(md, int(t.max_dups))
+            mr = max(mr, int(t.n_rows))
+        return mi, md, mr
+
+    max_items, max_dups, max_rows = measure(probe)
+    if max_dups > probe.d_max:
+        # The probe cap truncated the duplicate enumeration, so n_rows (and
+        # n_items) were measured under truncation; max_dups itself is exact
+        # (counted pre-cap). Re-probe once at the true maximum so dup_rows
+        # is sized to the real row count, not the truncated one.
+        probe = probe._replace(d_max=max_dups, dup_rows=0, w_max=1)
+        kb2 = _padded_rows(g, probe, t_ang) // base.g_tile
+        probe = probe._replace(w_max=max(kb2 * n_ch, 1))
+        max_items, max_dups, max_rows = measure(probe)
 
     return base._replace(
         d_max=max_dups + max(2, max_dups // 4),

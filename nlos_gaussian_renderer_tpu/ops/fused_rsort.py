@@ -199,6 +199,16 @@ def rsort_cull(
     n_ch = pl.cdiv(num_r, spec.t_chunk)
     t_ang = n_tt * n_pt
     g = means.shape[0]
+    if _padded_rows(g, spec) >= (1 << 24):
+        # start_row below rides a one-hot f32 matmul, exact only while every
+        # padded row start fits in f32's 24-bit mantissa. Populations that
+        # large need an int32 gather fallback — fail loudly, never corrupt
+        # the sorted layout silently.
+        raise ValueError(
+            f"rsort padded rows {_padded_rows(g, spec)} >= 2^24: the f32 "
+            "one-hot start_row gather would lose exactness; shrink "
+            "max_groups/g_tile or add an int32 gather path"
+        )
 
     d, radius, m_th, m_ph, in_window = angular_footprints(
         means, scales, alive, cam, theta, phi, r, spec, scaling_modifier

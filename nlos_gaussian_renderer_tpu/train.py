@@ -174,17 +174,22 @@ def make_train_step(
     max_sh_degree: int,
     sh_anneal_interval: int = 1000,
     seed: int = 0,
+    donate: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
     Signature: step(state, cams (B,3), targets (B,num_r), box_points, c,
                     delta_t, volume_position) -> (state, StepAux)
+
+    `donate=False` keeps the input state buffers alive after the call — the
+    training loop uses this to retry a step/chunk from its pre-update state
+    when the render reports culling-capacity overflow (no copy needed).
     """
     return jax.jit(
         _unjitted_train_step(
             settings, optim, tx, max_sh_degree, sh_anneal_interval, seed
         ),
-        donate_argnums=(0,),
+        donate_argnums=(0,) if donate else (),
     )
 
 
@@ -253,6 +258,7 @@ def make_scanned_train_step(
     max_sh_degree: int,
     sh_anneal_interval: int = 1000,
     seed: int = 0,
+    donate: bool = True,
 ) -> Callable:
     """Build a jitted K-step train chunk: one dispatch runs K sequential
     steps via lax.scan.
@@ -263,7 +269,8 @@ def make_scanned_train_step(
 
     Signature: step_k(state, cams (K, B, 3), targets (K, B, num_r),
                       box_points, c, delta_t, volume_position)
-               -> (state, (losses (K,), equal_losses (K,), overflow ()))
+               -> (state, StepAux) with loss/equal_loss/pred_hist/target_hist
+               stacked along a leading K axis and overflow any-reduced.
     """
     single = _unjitted_train_step(
         settings, optim, tx, max_sh_degree, sh_anneal_interval, seed
@@ -276,14 +283,12 @@ def make_scanned_train_step(
             st2, aux = single(
                 st, cams, tgts, box_points, c, delta_t, volume_position
             )
-            return st2, (aux.loss, aux.equal_loss, aux.overflow)
+            return st2, aux
 
-        state, (losses, eqs, ofs) = jax.lax.scan(
-            body, state, (cams_k, targets_k)
-        )
-        return state, (losses, eqs, jnp.any(ofs))
+        state, auxs = jax.lax.scan(body, state, (cams_k, targets_k))
+        return state, auxs._replace(overflow=jnp.any(auxs.overflow))
 
-    return jax.jit(multi, donate_argnums=(0,))
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def create_train_state(
@@ -488,6 +493,7 @@ def fit(
     log_every: Optional[int] = None,
     callback: Optional[Callable[[int, TrainState, StepAux], None]] = None,
     init_state: Optional[TrainState] = None,
+    callback_every: Optional[int] = None,
 ) -> FitResult:
     """Run the training loop (reference `train`, `main.py:273-371`).
 
@@ -495,6 +501,19 @@ def fit(
     main loop, so warmup+main is a single loop here. Pass `init_state` (e.g.
     a restored checkpoint) to resume training — a capability the reference
     never wired up (its restore is only reachable from `evaluation()`).
+
+    Callback cadence: with `callback_every=k`, the callback fires only at
+    iterations where (it + 1) % k == 0 (plus the final iteration) — which
+    lets `fit` keep the scan-chunked fast path (K device steps per host
+    dispatch) with callbacks installed. Without `callback_every`, a callback
+    forces the per-step path and fires every iteration (legacy contract).
+
+    Overflow prevention: every chunk (fast path) or log window (per-step
+    path) runs against a retained pre-chunk state; if the render reports a
+    saturated culling capacity, the caps are re-tuned and the chunk/window
+    is re-run from that state — truncated gradients never land in the
+    optimizer (the final parameters are bit-identical to a run whose caps
+    were big enough from the start).
     """
     num_iters = num_iters if num_iters is not None else optim.iterations
     log_every = log_every if log_every is not None else cfg.print_interval
@@ -504,7 +523,13 @@ def fit(
         cfg, optim, data, init_points, init_rhos
     )
     state = init_state if init_state is not None else create_train_state(scene, tx)
-    step_fn = make_train_step(settings, optim, tx, cfg.sh_degree, seed=cfg.rng)
+    # donate=False: pre-step buffers stay alive, so an overflow-flagged
+    # chunk/window can be retried from its exact starting state (costs one
+    # extra state's worth of HBM, never a copy).
+    step_fn = make_train_step(
+        settings, optim, tx, cfg.sh_degree, seed=cfg.rng, donate=False
+    )
+    step_chunk_fn = None
 
     l, m, n = data.shape
     nlos = jnp.asarray(data.nlos_data.reshape(l, m * n))  # (L, MN)
@@ -520,15 +545,20 @@ def fit(
         with --densify the population grows 5%/interval past whatever the
         initial capacity check saw (the `ray_aabb.cu:10-61` silent-256-cap
         failure mode, and this repo's own 40%-off-histogram war story)."""
-        nonlocal settings, step_fn, retunes
+        nonlocal settings, step_fn, step_chunk_fn, retunes
         new_settings, changed = fit_culling_capacity(
             settings, state.scene, probe_cams, box_points, data.c, data.deltaT
         )
         if changed:
             settings = new_settings
             step_fn = make_train_step(
-                settings, optim, tx, cfg.sh_degree, seed=cfg.rng
+                settings, optim, tx, cfg.sh_degree, seed=cfg.rng, donate=False
             )
+            if step_chunk_fn is not None:
+                step_chunk_fn = make_scanned_train_step(
+                    settings, optim, tx, cfg.sh_degree, seed=cfg.rng,
+                    donate=False,
+                )
             retunes += 1
             if settings.backend in ("pallas_rsort", "pallas_analytic",
                                     "pallas_dsort"):
@@ -552,22 +582,63 @@ def fit(
 
     stream = scan_point_stream(rng, m, n, cfg.batch_size)
     losses, eqs = [], []
-    of_acc = jnp.asarray(False)
     densify_key = jax.random.PRNGKey(cfg.rng + 1)
 
-    # Scan-chunked fast path: with no per-iter hooks, run `chunk` steps per
-    # jitted dispatch (per-step host dispatch costs ~1.5-2 ms — comparable
-    # to the device step itself at 100k Gaussians). Chunks align with log
-    # boundaries so logging cadence and recorded losses are unchanged.
+    def run_gated(chunked, st, *args, what=""):
+        """One step/chunk with the overflow gate: on a saturated culling
+        capacity, re-tune and re-run from the (still live, non-donated)
+        input state so no truncated gradient reaches the optimizer.
+
+        `chunked` selects the CURRENT step builder by name (retune rebuilds
+        both nonlocals; a captured function object would go stale)."""
+        nonlocal overflow_detected
+        st2, aux = (step_chunk_fn if chunked else step_fn)(st, *args)
+        for _ in range(4):
+            if not bool(aux.overflow):
+                break
+            print(
+                f"WARNING: culling capacity overflow in {what} — re-tuning "
+                "caps and re-running from the pre-overflow state"
+            )
+            if not retune(st):
+                # Caps at the fitted maximum and still overflowing: keep the
+                # (superset-capped) result and record the failure.
+                overflow_detected = True
+                break
+            st2, aux = (step_chunk_fn if chunked else step_fn)(st, *args)
+        return st2, aux
+
+    # Scan-chunked fast path: run `chunk` steps per jitted dispatch
+    # (per-step host dispatch costs ~1.5-2 ms — comparable to the device
+    # step itself at 100k Gaussians). Chunks align with the logging AND
+    # callback cadences so recorded losses / callback behavior are unchanged.
+    import math as _math
+
+    cadence = log_every
+    if callback is not None:
+        cadence = (
+            _math.gcd(log_every, callback_every) if callback_every else 0
+        )
     chunk = 1
-    if callback is None and not optim.mcmc_densification_flag:
+    if cadence and not optim.mcmc_densification_flag:
         for cand in (50, 25, 20, 10, 5, 4, 2):
-            if log_every % cand == 0 and num_iters >= cand:
+            if cadence % cand == 0 and num_iters >= cand:
                 chunk = cand
                 break
+
+    def fire_callback(it_end, st, aux_last):
+        if callback is None:
+            return
+        if (
+            callback_every is None
+            or it_end % callback_every == 0
+            or it_end == num_iters
+        ):
+            callback(it_end - 1, st, aux_last)
+
     if chunk > 1:
         step_chunk_fn = make_scanned_train_step(
-            settings, optim, tx, cfg.sh_degree, seed=cfg.rng
+            settings, optim, tx, cfg.sh_degree, seed=cfg.rng, donate=False
         )
         t0 = time.time()
         it = 0
@@ -578,38 +649,27 @@ def fit(
                     np.stack([next(stream) for _ in range(k)])
                 )  # (k, B)
                 cams, targets = jax.vmap(gather_batch)(idx)
-                state, (ls, es, of) = step_chunk_fn(
-                    state, cams, targets, box_points, data.c, data.deltaT,
-                    vol_pos,
+                state, auxs = run_gated(
+                    True, state, cams, targets, box_points, data.c,
+                    data.deltaT, vol_pos, what=f"chunk ending at iter {it + k}",
                 )
-                last_loss, last_eq = ls[-1], es[-1]
-                of_acc = jnp.logical_or(of_acc, of)
+                aux = StepAux(
+                    loss=auxs.loss[-1], equal_loss=auxs.equal_loss[-1],
+                    pred_hist=auxs.pred_hist[-1],
+                    target_hist=auxs.target_hist[-1], overflow=auxs.overflow,
+                )
             else:
                 idx = jnp.asarray(next(stream))
                 cams, targets = gather_batch(idx)
-                state, aux = step_fn(
-                    state, cams, targets, box_points, data.c, data.deltaT,
-                    vol_pos,
+                state, aux = run_gated(
+                    False, state, cams, targets, box_points, data.c,
+                    data.deltaT, vol_pos, what=f"iter {it + 1}",
                 )
-                last_loss, last_eq = aux.loss, aux.equal_loss
-                of_acc = jnp.logical_or(of_acc, aux.overflow)
             it += k
             if it % log_every == 0 or it == num_iters:
-                losses.append(float(last_loss))
-                eqs.append(float(last_eq))
-                if bool(of_acc):
-                    print(
-                        f"WARNING: culling capacity overflow by iter {it} — "
-                        "re-tuning caps"
-                    )
-                    healed = retune(state)
-                    if healed:
-                        step_chunk_fn = make_scanned_train_step(
-                            settings, optim, tx, cfg.sh_degree, seed=cfg.rng
-                        )
-                    else:
-                        overflow_detected = True
-                    of_acc = jnp.asarray(False)
+                losses.append(float(aux.loss))
+                eqs.append(float(aux.equal_loss))
+            fire_callback(it, state, aux)
         jax.block_until_ready(state.scene.means)
         dt = time.time() - t0
         return FitResult(
@@ -621,6 +681,14 @@ def fit(
             retunes=retunes,
         )
 
+    # Per-step path (per-iter callbacks and/or densification). Overflow is
+    # accumulated on device (no per-iter sync) and inspected at log
+    # boundaries; on overflow the whole window since the last boundary is
+    # replayed from its retained starting state with re-tuned caps, so the
+    # optimizer never keeps a truncated gradient.
+    of_acc = jnp.asarray(False)
+    window_start_state = state
+    window_events: list = []  # ("step", idx) | ("densify", key) since boundary
     t0 = time.time()
     for it in range(num_iters):
         idx = jnp.asarray(next(stream))
@@ -628,6 +696,7 @@ def fit(
         state, aux = step_fn(
             state, cams, targets, box_points, data.c, data.deltaT, vol_pos
         )
+        window_events.append(("step", idx))
         # MCMC densification hook (reference `main.py:243-247`).
         if optim.mcmc_densification_flag:
             cur = it + 2  # state.step after the update, avoids device sync
@@ -645,28 +714,57 @@ def fit(
                     scene=scene2, opt_state=opt2, step=state.step,
                     active_sh_degree=state.active_sh_degree,
                 )
+                window_events.append(("densify", sub))
                 # The population just grew: re-fit the culling capacities
                 # before the next render can truncate.
                 retune(state)
-        # Lazy overflow accumulator: no device sync per iter; inspected (and
-        # reset) at log boundaries so every step since the last check counts.
         of_acc = jnp.logical_or(of_acc, aux.overflow)
         if (it + 1) % log_every == 0 or it == num_iters - 1:
-            losses.append(float(aux.loss))
-            eqs.append(float(aux.equal_loss))
-            if bool(of_acc):
+            for _ in range(4):
+                if not bool(of_acc):
+                    break
                 print(
                     f"WARNING: culling capacity overflow by iter {it + 1} — "
-                    "re-tuning caps"
+                    "re-tuning caps and replaying the window"
                 )
-                healed = retune(state)
-                if not healed:
-                    # Caps at the fitted maximum and still overflowing: the
-                    # probe points must not cover this batch's worst case.
+                if not retune(state):
                     overflow_detected = True
+                    break
+                # Replay every event since the last boundary from the
+                # retained pre-window state with the re-tuned caps.
+                st = window_start_state
                 of_acc = jnp.asarray(False)
-        if callback is not None:
+                for ev, payload in window_events:
+                    if ev == "step":
+                        cams_r, targets_r = gather_batch(payload)
+                        st, aux = step_fn(
+                            st, cams_r, targets_r, box_points, data.c,
+                            data.deltaT, vol_pos,
+                        )
+                        of_acc = jnp.logical_or(of_acc, aux.overflow)
+                    else:
+                        from nlos_gaussian_renderer_tpu.models.densify import (
+                            densify_step,
+                        )
+
+                        scene2, opt2 = densify_step(
+                            st.scene, st.opt_state, payload,
+                            cap_max=optim.cap_max,
+                        )
+                        st = TrainState(
+                            scene=scene2, opt_state=opt2, step=st.step,
+                            active_sh_degree=st.active_sh_degree,
+                        )
+                state = st
+            losses.append(float(aux.loss))
+            eqs.append(float(aux.equal_loss))
+            of_acc = jnp.asarray(False)
+            window_start_state = state
+            window_events = []
+        if callback is not None and callback_every is None:
             callback(it, state, aux)
+        else:
+            fire_callback(it + 1, state, aux)
     jax.block_until_ready(state.scene.means)
     dt = time.time() - t0
     return FitResult(

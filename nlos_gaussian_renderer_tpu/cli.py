@@ -121,6 +121,7 @@ def train(cfg: Config, optim: OptimizationParams,
             data, rng, cfg.init_gaussian_num,
             carving_volume_size=cfg.carving_volume_size,
             ratio=cfg.space_carving_ratio,
+            exact_mesh_sampling=cfg.exact_mesh_sampling,
         )
 
     timer = StepTimer(window=cfg.print_interval)
@@ -272,6 +273,8 @@ def build_argparser() -> argparse.ArgumentParser:
         ap.add_argument(f"--{name.replace('_', '-')}", type=typ, default=None)
     ap.add_argument("--occlusion", action="store_true", default=None)
     ap.add_argument("--no-space-carving", action="store_true")
+    ap.add_argument("--exact-mesh-sampling", action="store_true",
+                    help="sample init points on the meshed carved surface")
     ap.add_argument("--densify", action="store_true")
     ap.add_argument("--resume", action="store_true",
                     help="resume training from the latest checkpoint")
@@ -287,6 +290,8 @@ def main(argv=None) -> None:
             overrides[f.name] = v
     if args.no_space_carving:
         overrides["space_carving_init"] = False
+    if args.exact_mesh_sampling:
+        overrides["exact_mesh_sampling"] = True
     cfg = Config(**overrides)
     optim = OptimizationParams(mcmc_densification_flag=args.densify)
 

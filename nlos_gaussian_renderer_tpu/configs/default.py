@@ -48,6 +48,9 @@ class Config:
     space_carving_init: bool = True
     carving_volume_size: int = 64
     space_carving_ratio: float = 0.99
+    # Sample init points ON the meshed carved surface instead of jittering
+    # voxel centers (reference `gaussian_utils.py:146-154` optional branch).
+    exact_mesh_sampling: bool = False
     scaling_modifier: float = 1.0
 
     # 'netf' (transmittance over density) or 'nlos-neus' (alpha compositing).

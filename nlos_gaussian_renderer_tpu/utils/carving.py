@@ -95,16 +95,27 @@ def carved_init_points(
     carving_volume_size: int,
     ratio: float = 0.99,
     rho_scale: float = 0.1,
+    exact_mesh_sampling: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Space-carving + jittered resampling init (reference
-    `sample_from_feasible_space_jittering`, `gaussian_utils.py:131-166`)."""
+    """Space-carving + resampling init (reference
+    `sample_from_feasible_space_jittering`, `gaussian_utils.py:131-166`).
+
+    `exact_mesh_sampling` mirrors the reference's optional branch
+    (`gaussian_utils.py:146-154`): mesh the carved set and sample ON the
+    surface instead of jittering voxel centers (surface-nets replaces the
+    open3d Poisson reconstruction)."""
     from nlos_gaussian_renderer_tpu.utils.init import (
         sample_from_feasible_space_jittering,
+        sample_from_feasible_surface,
     )
 
     feasible = space_carving(data, carving_volume_size, ratio)
     pmin = data.volume_position - data.volume_size / 2
     pmax = data.volume_position + data.volume_size / 2
-    return sample_from_feasible_space_jittering(
+    sampler = (
+        sample_from_feasible_surface if exact_mesh_sampling
+        else sample_from_feasible_space_jittering
+    )
+    return sampler(
         rng, num, feasible, pmin, pmax, carving_volume_size, rho_scale=rho_scale
     )

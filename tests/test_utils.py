@@ -75,6 +75,71 @@ class TestSpaceCarving:
         assert rho.shape == (100, 1)
         assert np.isfinite(pts).all()
 
+    def test_exact_mesh_sampling_runs(self, data):
+        rng = np.random.default_rng(0)
+        pts, rho = carved_init_points(
+            data, rng, 100, carving_volume_size=16, ratio=0.95,
+            exact_mesh_sampling=True,
+        )
+        assert pts.shape == (100, 3)
+        assert np.isfinite(pts).all()
+
+
+class TestSurfaceSampling:
+    """`sample_from_feasible_surface` (reference `gaussian_utils.py:146-154`
+    optional Poisson-mesh branch): surface samples must concentrate ON the
+    carved-set boundary where voxel jittering fills the interior."""
+
+    def _ball(self, s=24, radius=0.3):
+        # Solid-ball feasible set centered at the origin inside [-0.5, 0.5]^3.
+        ax = np.linspace(-0.5, 0.5, s, dtype=np.float32)
+        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+        return g[np.linalg.norm(g, axis=1) <= radius], s, radius
+
+    def test_surface_vs_jitter_distribution(self):
+        from nlos_gaussian_renderer_tpu.utils.init import (
+            sample_from_feasible_space_jittering,
+            sample_from_feasible_surface,
+        )
+
+        feasible, s, radius = self._ball()
+        pmin = np.full(3, -0.5, np.float32)
+        pmax = np.full(3, 0.5, np.float32)
+        rng = np.random.default_rng(1)
+        surf, _ = sample_from_feasible_surface(
+            rng, 800, feasible, pmin, pmax, s
+        )
+        jit, _ = sample_from_feasible_space_jittering(
+            np.random.default_rng(1), 800, feasible, pmin, pmax, s
+        )
+        r_surf = np.linalg.norm(surf, axis=1)
+        r_jit = np.linalg.norm(jit, axis=1)
+        voxel = 1.0 / (s - 1)
+        # Surface samples hug the sphere radius (within ~1.5 voxels).
+        assert abs(np.median(r_surf) - radius) < 1.5 * voxel
+        assert np.std(r_surf) < 2 * voxel
+        # Jittered samples fill the ball: wide radius spread, many interior.
+        assert np.std(r_jit) > 3 * np.std(r_surf)
+        # Volume fraction within radius - 2 voxels of a uniform ball is
+        # ((r-2v)/r)^3 ~ 0.36; jitter must land a sizable interior share.
+        assert (r_jit < radius - 2 * voxel).mean() > 0.15
+
+    def test_sparse_set_falls_back(self):
+        from nlos_gaussian_renderer_tpu.utils.init import (
+            sample_from_feasible_surface,
+        )
+
+        # A single feasible voxel has no interior/exterior crossing faces
+        # beyond its own cell; sampler must still return valid points.
+        pmin = np.full(3, -0.5, np.float32)
+        pmax = np.full(3, 0.5, np.float32)
+        pts, rho = sample_from_feasible_surface(
+            np.random.default_rng(0), 50,
+            np.zeros((1, 3), np.float32), pmin, pmax, 8,
+        )
+        assert pts.shape == (50, 3)
+        assert np.isfinite(pts).all()
+
 
 class TestRandomInit:
     def test_margin_bounds(self):

@@ -92,27 +92,17 @@ def make_sharded_densify_step(
     )
 
 
-def make_sharded_train_step(
-    mesh: Mesh,
+def _make_local_step(
     settings: RenderSettings,
     optim: OptimizationParams,
     tx: optax.GradientTransformation,
     max_sh_degree: int,
-    state_template: TrainState,
-    scan_axis: str = "scan",
-    gauss_axis: str = "gauss",
-    sh_anneal_interval: int = 1000,
+    scan_axis: str,
+    gauss_axis: str,
+    sh_anneal_interval: int,
 ) -> Callable:
-    """Build the multi-chip train step.
-
-    Requirements: batch size divisible by the 'scan' axis size; scene capacity
-    divisible by the 'gauss' axis size.
-
-    Returns:
-      step(state, cams (B,3), targets (B,num_r), box_points, c, delta_t,
-           volume_position) -> (state, StepAux)
-    """
-    sspecs = state_specs(state_template, gauss_axis)
+    """The per-device step body shared by the single- and scan-chunked
+    sharded builders (runs inside shard_map; collectives over both axes)."""
 
     def local_step(state: TrainState, cams, targets, box_points, c, delta_t,
                    volume_position):
@@ -156,6 +146,35 @@ def make_sharded_train_step(
             target_hist=aux.target_hist, overflow=overflow,
         )
 
+    return local_step
+
+
+def make_sharded_train_step(
+    mesh: Mesh,
+    settings: RenderSettings,
+    optim: OptimizationParams,
+    tx: optax.GradientTransformation,
+    max_sh_degree: int,
+    state_template: TrainState,
+    scan_axis: str = "scan",
+    gauss_axis: str = "gauss",
+    sh_anneal_interval: int = 1000,
+    donate: bool = True,
+) -> Callable:
+    """Build the multi-chip train step.
+
+    Requirements: batch size divisible by the 'scan' axis size; scene capacity
+    divisible by the 'gauss' axis size.
+
+    Returns:
+      step(state, cams (B,3), targets (B,num_r), box_points, c, delta_t,
+           volume_position) -> (state, StepAux)
+    """
+    sspecs = state_specs(state_template, gauss_axis)
+    local_step = _make_local_step(
+        settings, optim, tx, max_sh_degree, scan_axis, gauss_axis,
+        sh_anneal_interval,
+    )
     aux_specs = StepAux(
         loss=P(),
         equal_loss=P(),
@@ -170,4 +189,67 @@ def make_sharded_train_step(
         out_specs=(sspecs, aux_specs),
         check_vma=False,
     )
-    return jax.jit(sharded, donate_argnums=(0,))
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_scanned_train_step(
+    mesh: Mesh,
+    settings: RenderSettings,
+    optim: OptimizationParams,
+    tx: optax.GradientTransformation,
+    max_sh_degree: int,
+    state_template: TrainState,
+    scan_axis: str = "scan",
+    gauss_axis: str = "gauss",
+    sh_anneal_interval: int = 1000,
+    donate: bool = True,
+) -> Callable:
+    """Multi-chip K-step train chunk: one dispatch runs K sequential sharded
+    steps via lax.scan INSIDE the shard_map (VERDICT r2 #7).
+
+    On real pods the per-step host dispatch cost is per-HOST, so amortizing
+    it matters even more than single-chip: the scan keeps all K steps (and
+    their psum/pmean collectives) inside one compiled program on the ICI
+    mesh, with zero host round-trips between steps.
+
+    Signature: step_k(state, cams (K, B, 3), targets (K, B, num_r),
+                      box_points, c, delta_t, volume_position)
+               -> (state, StepAux) stacked along K, overflow any-reduced —
+               the same contract as `train.make_scanned_train_step`.
+    """
+    sspecs = state_specs(state_template, gauss_axis)
+    local_step = _make_local_step(
+        settings, optim, tx, max_sh_degree, scan_axis, gauss_axis,
+        sh_anneal_interval,
+    )
+
+    def local_multi(state, cams_k, targets_k, box_points, c, delta_t,
+                    volume_position):
+        def body(st, xs):
+            cams, tgts = xs
+            st2, aux = local_step(
+                st, cams, tgts, box_points, c, delta_t, volume_position
+            )
+            return st2, aux
+
+        state, auxs = jax.lax.scan(body, state, (cams_k, targets_k))
+        return state, auxs._replace(overflow=jnp.any(auxs.overflow))
+
+    aux_specs = StepAux(
+        loss=P(),
+        equal_loss=P(),
+        pred_hist=P(None, scan_axis, None),
+        target_hist=P(None, scan_axis, None),
+        overflow=P(),
+    )
+    sharded = jax.shard_map(
+        local_multi,
+        mesh=mesh,
+        in_specs=(
+            sspecs, P(None, scan_axis, None), P(None, scan_axis, None),
+            P(), P(), P(), P(),
+        ),
+        out_specs=(sspecs, aux_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())

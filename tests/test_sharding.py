@@ -227,6 +227,76 @@ class TestShardedPallasTraining:
         )
 
 
+class TestShardedScannedStep:
+    """VERDICT r2 #7: the scan-chunked step composed with shard_map — K
+    sequential sharded steps inside ONE dispatch must match K separate
+    sharded dispatches (on real pods dispatch cost is per-host, so chunking
+    matters even more multi-chip than single-chip)."""
+
+    def _batches(self, data, cfg, rng, k):
+        idx = rng.integers(0, 16, size=(k, 4))
+        cams = jnp.asarray(
+            np.stack([data.camera_grid_positions.T[i] for i in idx])
+        )
+        tgt = data.nlos_data.reshape(64, -1)[cfg.start:cfg.end] * cfg.gt_times
+        targets = jnp.asarray(np.stack([tgt.T[i] for i in idx]))
+        return cams, targets
+
+    @pytest.mark.parametrize("backend", ["dense", "pallas_rsort"])
+    def test_matches_sequential_sharded(self, setup, backend):
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import RSortSpec
+        from nlos_gaussian_renderer_tpu.parallel.sharding import (
+            make_sharded_scanned_train_step,
+        )
+
+        data, cfg, optim, scene, tx, settings, box = setup
+        if backend == "pallas_rsort":
+            rspec = RSortSpec(t_theta=4, t_phi=8, t_chunk=8, g_tile=32,
+                              w_max=128, max_groups=16)
+            settings = settings._replace(backend=backend, rsort_spec=rspec)
+        mesh = make_mesh([2, 4], ("scan", "gauss"))
+        vol = jnp.asarray(data.volume_position)
+        k = 3
+        cams_k, targets_k = self._batches(
+            data, cfg, np.random.default_rng(5), k
+        )
+
+        def fresh_sharded_state():
+            return shard_scene(
+                create_train_state(jax.tree.map(jnp.copy, scene), tx), mesh
+            )
+
+        single = make_sharded_train_step(
+            mesh, settings, optim, tx, cfg.sh_degree,
+            create_train_state(scene, tx),
+        )
+        st1 = fresh_sharded_state()
+        losses_seq = []
+        for i in range(k):
+            st1, aux = single(st1, cams_k[i], targets_k[i], box, data.c,
+                              data.deltaT, vol)
+            losses_seq.append(float(aux.loss))
+
+        chunked = make_sharded_scanned_train_step(
+            mesh, settings, optim, tx, cfg.sh_degree,
+            create_train_state(scene, tx),
+        )
+        st2 = fresh_sharded_state()
+        st2, auxs = chunked(st2, cams_k, targets_k, box, data.c, data.deltaT,
+                            vol)
+        np.testing.assert_allclose(
+            np.asarray(auxs.loss), losses_seq, rtol=1e-5
+        )
+        assert not bool(auxs.overflow)
+        assert int(st2.step) == int(st1.step) == k + 1
+        np.testing.assert_allclose(
+            np.asarray(st2.scene.means), np.asarray(st1.scene.means),
+            rtol=1e-5, atol=1e-7,
+        )
+        # State keeps its gauss sharding through the scan.
+        assert st2.scene.means.sharding.spec[0] == "gauss"
+
+
 class TestShardedDensify:
     def test_matches_single_device(self, setup):
         """GSPMD-partitioned densification must reproduce the single-chip

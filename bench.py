@@ -48,6 +48,9 @@ def main():
     ap.add_argument("--t-phi", type=int, default=None)
     ap.add_argument("--t-chunk", type=int, default=32)
     ap.add_argument("--g-tile", type=int, default=None)
+    ap.add_argument("--gate-bins", type=int, default=None,
+                    help="radial gate granularity (bins) for in-kernel "
+                         "skipping; must divide t-chunk")
     ap.add_argument("--bwd-bf16", action="store_true", default=True,
                     help="single-pass bf16 backward contraction "
                          "(default on; ~4e-3 relative on gradients)")
@@ -146,6 +149,7 @@ def main():
             k: v for k, v in (
                 ("t_theta", args.t_theta), ("t_phi", args.t_phi),
                 ("t_chunk", args.t_chunk), ("g_tile", args.g_tile),
+                ("gate_bins", args.gate_bins),
                 ("bwd_p_bf16", args.bwd_bf16 or None),
                 ("fwd_p_bf16", args.fwd_bf16 or None),
             ) if v is not None

@@ -218,8 +218,23 @@ def _erf(x):
     return s * (1.0 - poly * jnp.exp(-a * a))
 
 
-def _an_fwd_kernel(ft, fj, fb, first, cnt, aux, edges, xf_ref, gw_ref,
-                   out_ref, *, t_ang, n_c, n_words, t_chunk, s_ang):
+def _erf_and_gauss(x):
+    """(erf(x), exp(-x^2)) sharing the one exp.
+
+    The backward needs both erf(z_b) and E(s_b) = exp(-m(s_b)/2) at every
+    edge, and m/2 = z^2 + phi/2 exactly — so E = exp(-phi/2) * exp(-z^2)
+    reuses the erf polynomial's own exponential."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + _ERF_P * a)
+    a1, a2, a3, a4, a5 = _ERF_A
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    ex = jnp.exp(-a * a)
+    return s * (1.0 - poly * ex), ex
+
+
+def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
+                   gw_ref, out_ref, *, t_ang, n_c, n_words, t_chunk, s_ang):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -252,22 +267,31 @@ def _an_fwd_kernel(ft, fj, fb, first, cnt, aux, edges, xf_ref, gw_ref,
         )  # (S, K)
         sqrt_half_qa = jnp.sqrt(0.5 * qa)
         shift = qb * inv2qa
-        # March the chunk's bin edges; deposit per-bin erf differences.
+        ws = [gw[:, FDIM + c] * smask for c in range(n_c)]
+        # March ONLY the item's active bins [bl, bh] (the block's exact
+        # radial interval): bins outside get zero tau from every member
+        # anyway (beyond the 3-sigma cull radius). One erf per active bin
+        # plus one for the range's lower edge.
         j = fj[i]
-        cdf_prev = _erf(sqrt_half_qa * ((edges[j, 0] - tc) + shift))
-        for b in range(t_chunk):
+        bl, bh = fbl[i], fbh[i]
+
+        def bin_body(b, cdf_prev):
             cdf_cur = _erf(sqrt_half_qa * ((edges[j, b + 1] - tc) + shift))
             tau = pref * (cdf_cur - cdf_prev)  # (S, K)
-            cdf_prev = cdf_cur
+            off = pl.multiple_of(b * s_ang, s_ang)
             for c in range(n_c):
-                wv = gw[:, FDIM + c] * smask
-                out_ref[0, b * s_ang:(b + 1) * s_ang, c] += jnp.sum(
-                    tau * wv[None, :], axis=1
+                out_ref[0, pl.ds(off, s_ang), c] += jnp.sum(
+                    tau * ws[c][None, :], axis=1
                 )
+            return cdf_cur
+
+        cdf0 = _erf(sqrt_half_qa * ((edges[j, bl] - tc) + shift))
+        jax.lax.fori_loop(bl, bh + 1, bin_body, cdf0)
 
 
-def _an_bwd_kernel(bt, bj, bb, first, cnt, aux, edges, xf_ref, gw_ref,
-                   go_ref, dgw_ref, *, t_ang, n_c, n_words, t_chunk, s_ang):
+def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
+                   gw_ref, go_ref, dgw_ref, *, t_ang, n_c, n_words, t_chunk,
+                   s_ang):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -289,39 +313,53 @@ def _an_bwd_kernel(bt, bj, bb, first, cnt, aux, edges, xf_ref, gw_ref,
         inv_qa = 1.0 / qa
         inv2qa = 0.5 * inv_qa
         phi = jnp.maximum(qc - qb * qb * inv2qa * 0.5, 0.0)
-        pref = 0.5 * _SQRT_2PI * jax.lax.rsqrt(qa) * jnp.exp(-0.5 * phi)
+        eh = jnp.exp(-0.5 * phi)
+        pref = 0.5 * _SQRT_2PI * jax.lax.rsqrt(qa) * eh
         sqrt_half_qa = jnp.sqrt(0.5 * qa)
         shift = qb * inv2qa
         j = bj[i]
         half_qb = 0.5 * qb
+        wvs = [gw[:, FDIM + c] * smask for c in range(n_c)]
+        bl, bh = bbl[i], bbh[i]
 
-        s_prev = edges[j, 0] - tc
-        cdf_prev = _erf(sqrt_half_qa * (s_prev + shift))
-        # E(s) = exp(-m(s)/2), m(s) = qc + s*(qb + qa*s) — stable Horner.
-        e_prev = jnp.exp(-0.5 * (qc + s_prev * (qb + qa * s_prev)))
-        dqa = jnp.zeros_like(qa)
-        dqb = jnp.zeros_like(qa)
-        dqc = jnp.zeros_like(qa)
-        dw_acc = [jnp.zeros((gw.shape[0],), jnp.float32) for _ in range(n_c)]
-        go = go_ref[0]  # (S, C) with S = t_chunk * s_ang
-        for b in range(t_chunk):
-            s_cur = edges[j, b + 1] - tc
-            cdf_cur = _erf(sqrt_half_qa * (s_cur + shift))
-            e_cur = jnp.exp(-0.5 * (qc + s_cur * (qb + qa * s_cur)))
+        # Active-range march: one fused erf+exp per active bin (E(s) =
+        # exp(-phi/2) * exp(-z^2) reuses the erf polynomial's exponential —
+        # m/2 = z^2 + phi/2 exactly).
+        def bin_body(b, carry):
+            cdf_prev, ex_prev, dqa, dqb, dqc, dw = carry
+            s0 = edges[j, b] - tc
+            s1 = edges[j, b + 1] - tc
+            cdf_cur, ex_cur = _erf_and_gauss(sqrt_half_qa * (s1 + shift))
+            e_prev = eh * ex_prev
+            e_cur = eh * ex_cur
             i0 = pref * (cdf_cur - cdf_prev)  # (S, K) = tau
             i1 = (e_prev - e_cur - half_qb * i0) * inv_qa
-            i2 = (i0 - half_qb * i1 - (s_cur * e_cur - s_prev * e_prev)) * inv_qa
-            # dtau[s, k] = sum_c go[s_out, c] * w[k, c] (masked).
-            go_b = go[b * s_ang:(b + 1) * s_ang]  # (s_ang, C)
+            i2 = (i0 - half_qb * i1 - (s1 * e_cur - s0 * e_prev)) * inv_qa
+            off = pl.multiple_of(b * s_ang, s_ang)
+            go_b = go_ref[0, pl.ds(off, s_ang), :]  # (s_ang, C)
             dtau = jnp.zeros_like(i0)
+            dw_new = []
             for c in range(n_c):
-                wv = gw[:, FDIM + c] * smask
-                dtau += go_b[:, c][:, None] * wv[None, :]
-                dw_acc[c] += jnp.sum(go_b[:, c][:, None] * i0, axis=0)
-            dqa += dtau * (-0.5 * i2)
-            dqb += dtau * (-0.5 * i1)
-            dqc += dtau * (-0.5 * i0)
-            s_prev, cdf_prev, e_prev = s_cur, cdf_cur, e_cur
+                dtau += go_b[:, c][:, None] * wvs[c][None, :]
+                dw_new.append(
+                    dw[:, c] + jnp.sum(go_b[:, c][:, None] * i0, axis=0)
+                )
+            return (
+                cdf_cur, ex_cur,
+                dqa + dtau * (-0.5 * i2),
+                dqb + dtau * (-0.5 * i1),
+                dqc + dtau * (-0.5 * i0),
+                jnp.stack(dw_new, axis=1),
+            )
+
+        cdf0, ex0 = _erf_and_gauss(sqrt_half_qa * ((edges[j, bl] - tc) + shift))
+        zero = jnp.zeros_like(qa)
+        _, _, dqa, dqb, dqc, dw_kc = jax.lax.fori_loop(
+            bl, bh + 1, bin_body,
+            (cdf0, ex0, zero, zero, zero,
+             jnp.zeros((gw.shape[0], n_c), jnp.float32)),
+        )
+        dw_acc = [dw_kc[:, c] for c in range(n_c)]
 
         # Assemble dg' from the three contraction transposes (contract S).
         w = xf[:, :3]
@@ -376,14 +414,14 @@ def _contract_s(dq, feats):
     return both[:, :f] + both[:, f:] + _bf16_dot(dq_lo, f_hi, ((0,), (0,)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21))
 def analytic_rsort_field(
     xfeat,  # (T_ang, S_ang, XF) ray features
     aux,  # (n_tiles_total, 8) [delta(3), t_c, x0(3), pad]
     edges,  # (n_ch, t_chunk + 1)
     table,  # (KB, g_tile, 10 + C + P)
-    fwd_t, fwd_j, fwd_b, fwd_first,
-    bwd_t, bwd_j, bwd_b, bwd_first,
+    fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh,
+    bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh,
     n_items,
     tile_has_work,
     blk_has_work,
@@ -394,13 +432,14 @@ def analytic_rsort_field(
     """out (n_tiles_total, S, C): exact per-bin optical depths (tau), summed
     over the block's Gaussians with their channel weights."""
     return _an_fwd_impl(
-        xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
-        n_items, tile_has_work, spec, dims, interpret,
+        xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl,
+        fwd_bh, n_items, tile_has_work, spec, dims, interpret,
     )
 
 
 def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
-                 n_items, tile_has_work, spec, dims, interpret):
+                 fwd_bl, fwd_bh, n_items, tile_has_work, spec, dims,
+                 interpret):
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
     s_ang = xfeat.shape[1]
@@ -412,15 +451,15 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
     def ie(i, cnt):
         return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
 
-    def x_map(i, ft, fj, fb, first, cnt, aux_, edges_):
+    def x_map(i, ft, fj, fb, first, fbl, fbh, cnt, aux_, edges_):
         k = ie(i, cnt)
         return (ft[k], 0, 0)
 
-    def g_map(i, ft, fj, fb, first, cnt, aux_, edges_):
+    def g_map(i, ft, fj, fb, first, fbl, fbh, cnt, aux_, edges_):
         k = ie(i, cnt)
         return (fb[k], 0, 0)
 
-    def o_map(i, ft, fj, fb, first, cnt, aux_, edges_):
+    def o_map(i, ft, fj, fb, first, fbl, fbh, cnt, aux_, edges_):
         k = ie(i, cnt)
         return (tid(ft[k], fj[k]), 0, 0)
 
@@ -431,7 +470,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
             t_chunk=spec.t_chunk, s_ang=s_ang,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=9,
             grid=(spec.w_max,),
             in_specs=[
                 pl.BlockSpec((1, s_ang, XF_ANALYTIC), x_map),
@@ -442,7 +481,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
         out_shape=jax.ShapeDtypeStruct((n_tiles_total, s, c), jnp.float32),
         interpret=interp,
     )(
-        fwd_t, fwd_j, fwd_b, fwd_first, n_items, aux, edges,
+        fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh, n_items, aux, edges,
         xfeat, table,
     )
     tile_ids = jnp.arange(n_tiles_total)
@@ -453,19 +492,20 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
 
 
 def _an_vjp_fwd(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
-                bwd_t, bwd_j, bwd_b, bwd_first, n_items, tile_has_work,
-                blk_has_work, spec, dims, interpret):
+                fwd_bl, fwd_bh, bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl,
+                bwd_bh, n_items, tile_has_work, blk_has_work, spec, dims,
+                interpret):
     out = _an_fwd_impl(
-        xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
-        n_items, tile_has_work, spec, dims, interpret,
+        xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl,
+        fwd_bh, n_items, tile_has_work, spec, dims, interpret,
     )
     return out, (xfeat, aux, edges, table, bwd_t, bwd_j, bwd_b, bwd_first,
-                 n_items, blk_has_work)
+                 bwd_bl, bwd_bh, n_items, blk_has_work)
 
 
 def _an_vjp_bwd(spec, dims, interpret, res, go):
-    (xfeat, aux, edges, table, bwd_t, bwd_j, bwd_b, bwd_first,
-     n_items, blk_has_work) = res
+    (xfeat, aux, edges, table, bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl,
+     bwd_bh, n_items, blk_has_work) = res
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
     s_ang = xfeat.shape[1]
@@ -478,15 +518,15 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
     def ie(i, cnt):
         return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
 
-    def x_map(i, bt, bj, bb, first, cnt, aux_, edges_):
+    def x_map(i, bt, bj, bb, first, bbl, bbh, cnt, aux_, edges_):
         k = ie(i, cnt)
         return (bt[k], 0, 0)
 
-    def g_map(i, bt, bj, bb, first, cnt, aux_, edges_):
+    def g_map(i, bt, bj, bb, first, bbl, bbh, cnt, aux_, edges_):
         k = ie(i, cnt)
         return (bb[k], 0, 0)
 
-    def o_map(i, bt, bj, bb, first, cnt, aux_, edges_):
+    def o_map(i, bt, bj, bb, first, bbl, bbh, cnt, aux_, edges_):
         k = ie(i, cnt)
         return (tid(bt[k], bj[k]), 0, 0)
 
@@ -496,7 +536,7 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
             t_chunk=spec.t_chunk, s_ang=s_ang,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=9,
             grid=(spec.w_max,),
             in_specs=[
                 pl.BlockSpec((1, s_ang, XF_ANALYTIC), x_map),
@@ -507,12 +547,12 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
         ),
         out_shape=jax.ShapeDtypeStruct(table.shape, jnp.float32),
         interpret=interp,
-    )(bwd_t, bwd_j, bwd_b, bwd_first, n_items, aux, edges,
+    )(bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh, n_items, aux, edges,
       xfeat, table, go)
     # `where`, not multiply: unvisited blocks are uninitialized memory and
     # NaN * 0 = NaN (see fused_rsort._rsort_vjp_bwd).
     dtable = jnp.where(blk_has_work[:, None, None], dtable, 0.0)
-    return (None, None, None, dtable) + (None,) * 11
+    return (None, None, None, dtable) + (None,) * 15
 
 
 analytic_rsort_field.defvjp(_an_vjp_fwd, _an_vjp_bwd)
@@ -562,7 +602,9 @@ def analytic_gaussian_field(
     out = analytic_rsort_field(
         xfeat, aux, edges, table3,
         tiles.fwd_t, tiles.fwd_j, tiles.fwd_b, tiles.fwd_first,
+        tiles.fwd_bl, tiles.fwd_bh,
         tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
+        tiles.bwd_bl, tiles.bwd_bh,
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
         spec, (n_tt, n_pt, n_ch, n_words), interpret,
     )

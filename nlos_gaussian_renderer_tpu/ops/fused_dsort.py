@@ -60,10 +60,14 @@ class DSortTiles(NamedTuple):
     fwd_j: jax.Array
     fwd_b: jax.Array
     fwd_first: jax.Array
+    fwd_bl: jax.Array  # (W,) per-item active bin range within the chunk
+    fwd_bh: jax.Array
     bwd_t: jax.Array
     bwd_j: jax.Array
     bwd_b: jax.Array
     bwd_first: jax.Array
+    bwd_bl: jax.Array
+    bwd_bh: jax.Array
     n_items: jax.Array  # (1,)
     tile_has_work: jax.Array  # (T_ang, n_ch)
     blk_has_work: jax.Array  # (KB,)
@@ -196,6 +200,16 @@ def dsort_cull(
     nch_b = jnp.maximum(j_hi - j_lo + 1, 0)  # (KB,)
     n_items = jnp.sum(nch_b)
 
+    # Exact absolute bin ranges per block (see rsort_cull): identical cutoff
+    # guarantee to the chunk-level test, used for in-kernel radial gating.
+    total_bins = n_ch * spec.t_chunk
+    abs_lo = jnp.ceil(
+        jnp.clip((blk_lo - r[0]) / dr - 0.5 - 1e-4, 0, total_bins - 1)
+    ).astype(jnp.int32)
+    abs_hi = jnp.floor(
+        jnp.clip((blk_hi - r[0]) / dr + 0.5 + 1e-4, 0, total_bins - 1)
+    ).astype(jnp.int32)
+
     # Work lists by prefix-sum expansion over blocks (see rsort_cull; the
     # pair axis here is just the block — each block has ONE tile).
     w = spec.w_max
@@ -219,6 +233,13 @@ def dsort_cull(
             (bwd_b[1:] != bwd_b[:-1]).astype(jnp.int32),
         ]
     )
+    ends_w = jnp.stack([abs_lo, abs_hi], axis=1)[blk_slot]  # (W, 2)
+    bwd_bl = jnp.clip(
+        ends_w[:, 0] - bwd_j * spec.t_chunk, 0, spec.t_chunk - 1
+    )
+    bwd_bh = jnp.clip(
+        ends_w[:, 1] - bwd_j * spec.t_chunk, 0, spec.t_chunk - 1
+    )
     live = jnp.arange(w, dtype=jnp.int32) < n_items
     fkey = jnp.where(
         live, (bwd_t * n_ch + bwd_j) * kb + bwd_b, jnp.iinfo(jnp.int32).max
@@ -227,6 +248,8 @@ def dsort_cull(
     fwd_t = bwd_t[f_ord]
     fwd_j = bwd_j[f_ord]
     fwd_b = bwd_b[f_ord]
+    fwd_bl = bwd_bl[f_ord]
+    fwd_bh = bwd_bh[f_ord]
     out_f = fwd_t * n_ch + fwd_j
     fwd_first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (out_f[1:] != out_f[:-1]).astype(jnp.int32)]
@@ -246,7 +269,9 @@ def dsort_cull(
         words=words,
         counts=cnt_t,
         fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
+        fwd_bl=fwd_bl, fwd_bh=fwd_bh,
         bwd_t=bwd_t, bwd_j=bwd_j, bwd_b=bwd_b, bwd_first=bwd_first,
+        bwd_bl=bwd_bl, bwd_bh=bwd_bh,
         n_items=jnp.minimum(n_items, w).reshape(1),
         tile_has_work=tile_has_work,
         blk_has_work=nch_b > 0,
@@ -385,7 +410,9 @@ def dsort_gaussian_field(
     out = rsort_field(
         xfeat_hl, centers, table3,
         tiles.fwd_t, tiles.fwd_j, tiles.fwd_b, tiles.fwd_first,
+        tiles.fwd_bl, tiles.fwd_bh,
         tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
+        tiles.bwd_bl, tiles.bwd_bh,
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
         spec, (n_tt, n_pt, n_ch, n_words), interpret,
     )

@@ -86,6 +86,12 @@ class RSortSpec(NamedTuple):
     max_groups: int = 64  # pattern-group capacity (excess groups merge)
     sigma_cull: float = 3.0
     margin: float = 1.1
+    # Radial gate granularity (bins): the kernels skip whole gate_bins-sized
+    # sub-chunks outside the item's exact bin range [bl, bh] (predicated
+    # pl.when — no DMA or layout change). Must divide t_chunk. Trained-scene
+    # blocks span ~10 of 32 bins, so gating removes most of the per-pair
+    # exp/MXU work the chunk-level schedule over-covers.
+    gate_bins: int = 4
     # Backward-kernel precision: True runs the Z = p^T @ (go*x) contraction
     # with single-pass bf16 operands (~4e-3 relative on gradients — inside
     # SGD noise) instead of hi/lo splits. Forward output is unaffected.
@@ -114,11 +120,19 @@ class RSortTiles(NamedTuple):
     fwd_j: jax.Array  # (W,) int32 radial chunk
     fwd_b: jax.Array  # (W,) int32 GLOBAL gaussian block
     fwd_first: jax.Array  # (W,) 1 when this item starts a new output tile
+    # Per-item active bin range WITHIN the chunk [bl, bh] (inclusive): the
+    # block's exact radial interval maps to a bin sub-range; samples outside
+    # it are beyond every member's cull sphere (same cutoff guarantee as
+    # chunk-level skipping), so the kernels skip those bins entirely.
+    fwd_bl: jax.Array  # (W,) int32 in [0, t_chunk)
+    fwd_bh: jax.Array  # (W,) int32 in [0, t_chunk)
     # Same items, backward order (sorted by block, tile, chunk):
     bwd_t: jax.Array  # (W,) int32
     bwd_j: jax.Array  # (W,) int32
     bwd_b: jax.Array  # (W,) int32
     bwd_first: jax.Array  # (W,) 1 when this item starts a new global block
+    bwd_bl: jax.Array  # (W,) int32
+    bwd_bh: jax.Array  # (W,) int32
     n_items: jax.Array  # (1,) int32 valid work items
     tile_has_work: jax.Array  # (T_ang, n_ch) bool
     blk_has_work: jax.Array  # (KB,) bool
@@ -368,6 +382,20 @@ def rsort_cull(
     nch_bt = jnp.maximum(j_hi - j_lo + 1, 0)  # (KB, T)
     n_items = jnp.sum(nch_bt)
 
+    # Exact per-pair ABSOLUTE bin ranges: bin a is active iff its center
+    # r0 + a*dr lies within [blk_lo - dr/2, blk_hi + dr/2] — the identical
+    # cutoff guarantee as the chunk-level test (samples outside are beyond
+    # every member's cull sphere radially, reverse triangle inequality).
+    # The 1e-4-bin widening absorbs f32 rounding; clip before the int cast
+    # so empty pairs' +-inf intervals stay finite.
+    total_bins = n_ch * spec.t_chunk
+    abs_lo = jnp.ceil(
+        jnp.clip((blk_lo - r[0]) / dr - 0.5 - 1e-4, 0, total_bins - 1)
+    ).astype(jnp.int32)
+    abs_hi = jnp.floor(
+        jnp.clip((blk_hi - r[0]) / dr + 0.5 + 1e-4, 0, total_bins - 1)
+    ).astype(jnp.int32)
+
     # --- work lists by prefix-sum expansion (no large sorts) ----------------
     # Pairs in (block, tile) order; each expands to its chunk range. The
     # expansion IS the backward order (block-major: consecutive revisits of
@@ -404,6 +432,16 @@ def rsort_cull(
             (bwd_b[1:] != bwd_b[:-1]).astype(jnp.int32),
         ]
     )
+    # One fused row gather for both range ends, then chunk-relative clamp.
+    ends_w = jnp.stack([abs_lo.reshape(-1), abs_hi.reshape(-1)], axis=1)[
+        pair_slot
+    ]  # (W, 2)
+    bwd_bl = jnp.clip(
+        ends_w[:, 0] - bwd_j * spec.t_chunk, 0, spec.t_chunk - 1
+    )
+    bwd_bh = jnp.clip(
+        ends_w[:, 1] - bwd_j * spec.t_chunk, 0, spec.t_chunk - 1
+    )
     # forward order: (t, j, b) — argsort of W keys (invalid items last).
     live = jnp.arange(w, dtype=jnp.int32) < n_items
     fkey = jnp.where(
@@ -413,6 +451,8 @@ def rsort_cull(
     fwd_t = bwd_t[f_ord]
     fwd_j = bwd_j[f_ord]
     fwd_b = bwd_b[f_ord]
+    fwd_bl = bwd_bl[f_ord]
+    fwd_bh = bwd_bh[f_ord]
     out_f = fwd_t * n_ch + fwd_j
     fwd_first = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (out_f[1:] != out_f[:-1]).astype(jnp.int32)]
@@ -429,7 +469,9 @@ def rsort_cull(
         words=words_pad,
         counts=counts,
         fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
+        fwd_bl=fwd_bl, fwd_bh=fwd_bh,
         bwd_t=bwd_t, bwd_j=bwd_j, bwd_b=bwd_b, bwd_first=bwd_first,
+        bwd_bl=bwd_bl, bwd_bh=bwd_bh,
         n_items=jnp.minimum(n_items, w).reshape(1),
         tile_has_work=jnp.any(covers, axis=0),  # (T, n_ch)
         blk_has_work=jnp.any(nch_bt > 0, axis=1),  # (KB,)
@@ -532,8 +574,9 @@ def _member_bits(words, t):
     return q - 2.0 * jnp.floor(0.5 * q)
 
 
-def _rs_fwd_kernel(ft, fj, fb, first, cnt, cx, x_ref, gw_ref, out_ref,
-                   *, t_ang, n_c, n_words, p_bf16=False):
+def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
+                   out_ref, *, t_ang, n_c, n_words, s_ang, gate_bins,
+                   p_bf16=False):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -548,29 +591,49 @@ def _rs_fwd_kernel(ft, fj, fb, first, cnt, cx, x_ref, gw_ref, out_ref,
         gw = gw_ref[0]
         gp = _center_transform(gw[:, :FDIM], x0, y0, z0)
         smask = _member_bits(gw[:, FDIM + n_c:], ft[i])
-        m = _maha_centered_bf16(
-            x_ref[0][:, :FDIM], x_ref[0][:, FDIM:], gp
-        )
-        p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+        bl, bh = fbl[i], fbh[i]
         if p_bf16:
-            # One bf16 MXU pass replaces the per-channel VPU mul+reduce.
-            # Per-term bf16 error averages down over the K-sized sum
-            # (~2e-4 relative on the field vs ~5e-5 for the exact path).
             wm = jnp.stack(
                 [gw[:, FDIM + c] * smask for c in range(n_c)], axis=1
-            )  # (K, C) f32 — tiny
-            out_ref[0] += _bf16_dot(
-                p.astype(jnp.bfloat16), wm.astype(jnp.bfloat16),
-                ((1,), (0,)),
-            )
+            ).astype(jnp.bfloat16)  # (K, C)
         else:
-            for c in range(n_c):
-                w = gw[:, FDIM + c] * smask
-                out_ref[0, :, c] += jnp.sum(p * w[None, :], axis=1)
+            ws = [gw[:, FDIM + c] * smask for c in range(n_c)]
+        s_gate = s_ang * gate_bins
+        # Radial gating: loop ONLY the gate_bins-sized sub-chunks inside the
+        # item's exact bin range — sub-chunks outside hold samples beyond
+        # every member's cull sphere (same cutoff guarantee as chunk-level
+        # skipping). Dynamic trip count = active gates; skipped gates cost
+        # nothing and their output rows stay at the first-visit zeros.
+
+        def gate(g, carry):
+            off = pl.multiple_of(g * s_gate, s_gate)
+            m = _maha_centered_bf16(
+                x_ref[0, pl.ds(off, s_gate), :FDIM],
+                x_ref[0, pl.ds(off, s_gate), FDIM:],
+                gp,
+            )
+            p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+            if p_bf16:
+                # One bf16 MXU pass replaces the per-channel VPU
+                # mul+reduce (~2e-4 relative on the field).
+                out_ref[0, pl.ds(off, s_gate), :] += _bf16_dot(
+                    p.astype(jnp.bfloat16), wm, ((1,), (0,))
+                )
+            else:
+                for c in range(n_c):
+                    out_ref[0, pl.ds(off, s_gate), c] += jnp.sum(
+                        p * ws[c][None, :], axis=1
+                    )
+            return carry
+
+        jax.lax.fori_loop(
+            bl // gate_bins, bh // gate_bins + 1, gate, jnp.int32(0)
+        )
 
 
-def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
-                   dgw_ref, *, t_ang, n_c, n_words, p_bf16=False):
+def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
+                   go_ref, dgw_ref, *, t_ang, n_c, n_words, s_ang,
+                   gate_bins, p_bf16=False):
     """Backward via the rank-C factorization of the cotangent chain.
 
     With y_c[a, f] = go[a, c] * x[a, f] (an (S, F) array — F = 20x cheaper
@@ -584,6 +647,11 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
     deliberately: the dense reference path never clamps, so the unmasked
     cotangent is the closer match (the clamp only guards f32 noise at the
     Gaussian peak where the true gradient vanishes anyway).
+
+    Radial gating: Z accumulates over ONLY the gate_bins-sized sub-chunks
+    inside the item's bin range (fori_loop carry); sub-chunks outside are
+    never touched — their p is sub-cutoff, the identical guarantee to
+    chunk-level skipping.
     """
     i = pl.program_id(0)
     live = i < cnt[0]
@@ -598,22 +666,27 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
         x0, y0, z0 = cx[tile, 0], cx[tile, 1], cx[tile, 2]
         gw = gw_ref[0]
         gp = _center_transform(gw[:, :FDIM], x0, y0, z0)
-        x_hi = x_ref[0][:, :FDIM]
-        x_lo = x_ref[0][:, FDIM:]
         smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
-        m = _maha_centered_bf16(x_hi, x_lo, gp)
-        xf32 = x_hi.astype(jnp.float32) + x_lo.astype(jnp.float32)  # (S, F)
-        ys = [
-            go_ref[0, :, c][:, None] * xf32 for c in range(n_c)
-        ]  # C x (S, F)
-        ycat = jnp.concatenate(ys, axis=1)  # (S, C*F)
+        bl, bh = bbl[i], bbh[i]
         cf = n_c * FDIM
-        if p_bf16:
-            # Single-pass variant: p and y in plain bf16 (no splits). The
-            # ~2^-8 relative error lands on gradients only.
-            p16 = jnp.exp(-0.5 * jnp.maximum(m, 0.0)).astype(jnp.bfloat16)
-            z = _bf16_dot(p16, ycat.astype(jnp.bfloat16), ((0,), (0,)))
-        else:
+        s_gate = s_ang * gate_bins
+
+        def gate(g, z):
+            off = pl.multiple_of(g * s_gate, s_gate)
+            x_hi = x_ref[0, pl.ds(off, s_gate), :FDIM]
+            x_lo = x_ref[0, pl.ds(off, s_gate), FDIM:]
+            m = _maha_centered_bf16(x_hi, x_lo, gp)
+            xf32 = x_hi.astype(jnp.float32) + x_lo.astype(jnp.float32)
+            go_g = go_ref[0, pl.ds(off, s_gate), :]
+            ys = [go_g[:, c][:, None] * xf32 for c in range(n_c)]
+            ycat = jnp.concatenate(ys, axis=1)  # (S_g, C*F)
+            if p_bf16:
+                # Single-pass variant: p and y in plain bf16 (no splits).
+                # The ~2^-8 relative error lands on gradients only.
+                p16 = jnp.exp(-0.5 * jnp.maximum(m, 0.0)).astype(jnp.bfloat16)
+                return z + _bf16_dot(
+                    p16, ycat.astype(jnp.bfloat16), ((0,), (0,))
+                )
             p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
             p_hi, p_lo = _split_hi_lo(p)
             y_hi, y_lo = _split_hi_lo(ycat)
@@ -621,8 +694,15 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
             # ([y_hi | y_lo] share the first dot's lane padding, 2CF <= 128).
             both = _bf16_dot(p_hi, jnp.concatenate([y_hi, y_lo], axis=1),
                              ((0,), (0,)))  # (K, 2*C*F)
-            z = (both[:, :cf] + both[:, cf:]
-                 + _bf16_dot(p_lo, y_hi, ((0,), (0,))))
+            return (
+                z + both[:, :cf] + both[:, cf:]
+                + _bf16_dot(p_lo, y_hi, ((0,), (0,)))
+            )
+
+        z = jax.lax.fori_loop(
+            bl // gate_bins, bh // gate_bins + 1, gate,
+            jnp.zeros((gw.shape[0], cf), jnp.float32),
+        )
         dgp = jnp.zeros((z.shape[0], FDIM), jnp.float32)
         dw_cols = []
         for c in range(n_c):
@@ -635,13 +715,13 @@ def _rs_bwd_kernel(bt, bj, bb, first, cnt, cx, x_ref, gw_ref, go_ref,
         dgw_ref[0] += jnp.concatenate([dg, dw, zero_pat], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20))
 def rsort_field(
     xfeat,  # (n_tiles_total, S, 20) CENTERED monomials, bf16 [hi | lo]
     centers,  # (n_tiles_total, 3) tile centers
     table,  # (KB, g_tile, 10 + C + P) global layout: forms|weights|patterns
-    fwd_t, fwd_j, fwd_b, fwd_first,  # (W,) forward work list
-    bwd_t, bwd_j, bwd_b, bwd_first,  # (W,) backward work list
+    fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh,  # (W,) forward work list
+    bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh,  # (W,) backward list
     n_items,  # (1,) int32
     tile_has_work,  # (T_ang, n_ch)
     blk_has_work,  # (KB,)
@@ -651,8 +731,8 @@ def rsort_field(
 ):
     """out (n_tiles_total, S, C) = per-chunk field sums (work-list-sparse)."""
     return _rsort_fwd_impl(
-        xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
-        n_items, tile_has_work, spec, dims, interpret,
+        xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl,
+        fwd_bh, n_items, tile_has_work, spec, dims, interpret,
     )
 
 
@@ -665,11 +745,17 @@ def _tile_id_map(n_tt, n_pt):
     return f
 
 
-def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
-                    fwd_first, n_items, tile_has_work, spec, dims, interpret):
+def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
+                    fwd_bl, fwd_bh, n_items, tile_has_work, spec, dims,
+                    interpret):
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
     s = xfeat.shape[1]
+    s_ang = spec.t_theta * spec.t_phi
+    if spec.t_chunk % spec.gate_bins:
+        raise ValueError(
+            f"gate_bins={spec.gate_bins} must divide t_chunk={spec.t_chunk}"
+        )
     c = table.shape[-1] - FDIM - n_words
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_tt, n_pt)
@@ -677,21 +763,21 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
     def ie(i, cnt):
         return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
 
-    def x_map(i, ft, fj, fb, first, cnt, cx):
+    def x_map(i, ft, fj, fb, first, fbl, fbh, cnt, cx):
         k = ie(i, cnt)
         return (tid(ft[k], fj[k]), 0, 0)
 
-    def g_map(i, ft, fj, fb, first, cnt, cx):
+    def g_map(i, ft, fj, fb, first, fbl, fbh, cnt, cx):
         k = ie(i, cnt)
         return (fb[k], 0, 0)
 
     out = pl.pallas_call(
         functools.partial(
             _rs_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
-            p_bf16=spec.fwd_p_bf16,
+            s_ang=s_ang, gate_bins=spec.gate_bins, p_bf16=spec.fwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=8,
             grid=(spec.w_max,),
             in_specs=[
                 pl.BlockSpec((1, s, 2 * FDIM), x_map),
@@ -702,7 +788,7 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
         out_shape=jax.ShapeDtypeStruct((xfeat.shape[0], s, c), jnp.float32),
         interpret=interp,
     )(
-        fwd_t, fwd_j, fwd_b, fwd_first, n_items, centers,
+        fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh, n_items, centers,
         xfeat, table,
     )
     # Tiles with no work items are never visited by the kernel: their output
@@ -714,23 +800,25 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
     return jnp.where(has[:, None, None], out, 0.0)
 
 
-def _rsort_vjp_fwd(xfeat, centers, table, fwd_t, fwd_j, fwd_b,
-                   fwd_first, bwd_t, bwd_j, bwd_b, bwd_first, n_items,
-                   tile_has_work, blk_has_work, spec, dims, interpret):
+def _rsort_vjp_fwd(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
+                   fwd_bl, fwd_bh, bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl,
+                   bwd_bh, n_items, tile_has_work, blk_has_work, spec, dims,
+                   interpret):
     out = _rsort_fwd_impl(
-        xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
-        n_items, tile_has_work, spec, dims, interpret,
+        xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl,
+        fwd_bh, n_items, tile_has_work, spec, dims, interpret,
     )
     return out, (xfeat, centers, table, bwd_t, bwd_j, bwd_b,
-                 bwd_first, n_items, blk_has_work)
+                 bwd_first, bwd_bl, bwd_bh, n_items, blk_has_work)
 
 
 def _rsort_vjp_bwd(spec, dims, interpret, res, go):
-    (xfeat, centers, table, bwd_t, bwd_j, bwd_b, bwd_first,
+    (xfeat, centers, table, bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh,
      n_items, blk_has_work) = res
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
     s = xfeat.shape[1]
+    s_ang = spec.t_theta * spec.t_phi
     f_in = table.shape[-1]
     c = f_in - FDIM - n_words
     interp = _interpret_default() if interpret is None else interpret
@@ -739,21 +827,21 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
     def ie(i, cnt):
         return jnp.clip(i, 0, jnp.maximum(cnt[0] - 1, 0))
 
-    def x_map(i, bt, bj, bb, first, cnt, cx):
+    def x_map(i, bt, bj, bb, first, bbl, bbh, cnt, cx):
         k = ie(i, cnt)
         return (tid(bt[k], bj[k]), 0, 0)
 
-    def g_map(i, bt, bj, bb, first, cnt, cx):
+    def g_map(i, bt, bj, bb, first, bbl, bbh, cnt, cx):
         k = ie(i, cnt)
         return (bb[k], 0, 0)
 
     dtable = pl.pallas_call(
         functools.partial(
             _rs_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
-            p_bf16=spec.bwd_p_bf16,
+            s_ang=s_ang, gate_bins=spec.gate_bins, p_bf16=spec.bwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=8,
             grid=(spec.w_max,),
             in_specs=[
                 pl.BlockSpec((1, s, 2 * FDIM), x_map),
@@ -764,7 +852,7 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
         ),
         out_shape=jax.ShapeDtypeStruct(table.shape, jnp.float32),
         interpret=interp,
-    )(bwd_t, bwd_j, bwd_b, bwd_first, n_items, centers,
+    )(bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh, n_items, centers,
       xfeat, table, go)
     # Global blocks with no work items are never visited: mask their
     # (uninitialized) gradient rows to zero. Must be a `where`, not a
@@ -772,7 +860,7 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
     # dsort scatter-add backward reads EVERY row, so a poisoned padding row
     # would corrupt Gaussian 0's gradient).
     dtable = jnp.where(blk_has_work[:, None, None], dtable, 0.0)
-    return (None, None, dtable) + (None,) * 11
+    return (None, None, dtable) + (None,) * 15
 
 
 rsort_field.defvjp(_rsort_vjp_fwd, _rsort_vjp_bwd)
@@ -928,7 +1016,9 @@ def rsort_gaussian_field(
     out = rsort_field(
         xfeat_hl, centers, table3,
         tiles.fwd_t, tiles.fwd_j, tiles.fwd_b, tiles.fwd_first,
+        tiles.fwd_bl, tiles.fwd_bh,
         tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
+        tiles.bwd_bl, tiles.bwd_bh,
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
         spec, (n_tt, n_pt, n_ch, n_words), interpret,
     )

@@ -17,6 +17,50 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Fast/slow split (VERDICT r2 #9): the interpret-mode kernel and long
+# training tests dominate the ~35 min full-suite wall time. Everything
+# matching a pattern below gets the `slow` marker so the developer loop
+# `pytest -m "not slow"` stays under ~5 minutes; CI-style runs use the full
+# suite unchanged. Patterns match nodeids (module path, class, or test name);
+# measured durations: /tmp via `pytest --durations` (r3: top entry 242s).
+_SLOW_PATTERNS = (
+    "tests/test_sharding.py",
+    "tests/test_dsort.py",
+    "tests/test_graft_entry.py",
+    "TestOverflowSafety",
+    "TestOverflowPrevention",
+    "TestChunkedCallback",
+    "TestScannedStep",
+    "TestBackendTrainingParity",
+    "TestStanfordLoader",
+    "TestFit",
+    "TestTuneSpec",
+    "TestDegenerateFootprints",
+    "TestTakeRowsScatter",
+    "test_gradient_parity_bf16_bwd",
+    "TestAnalyticKernelParity",
+    "TestTrainsOnArtifact",
+    "TestCullingSelfHeal",
+    "TestResume",
+    "test_train_and_eval_synthetic",
+    "test_densify_flag_runs",
+    "test_gradient_parity_chunked",
+    "test_gradient_parity_with_dense",
+    "test_gradients_finite",
+    "TestNonDivisibleShapes",
+    "test_gradients_finite_all_modes",
+    "test_per_gaussian_chunked",
+    "TestBatchedRender",
+    "test_capacity_padding",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(p in item.nodeid for p in _SLOW_PATTERNS):
+            item.add_marker(pytest.mark.slow)

@@ -175,7 +175,13 @@ class TestDSortParity:
         )
         _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
         _, hr, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_r)
-        np.testing.assert_allclose(hd, hr, rtol=3e-3, atol=1e-9)
+        # atol floor at 1e-3 of the peak: dsort and rsort build different
+        # blocks, so radial gating truncates different (sub-cutoff) tail
+        # mass in edge bins (see test_rsort.test_matches_pallas_tile_backend).
+        np.testing.assert_allclose(
+            np.asarray(hd), np.asarray(hr), rtol=3e-3,
+            atol=1e-3 * float(np.max(np.abs(hd))),
+        )
 
     def test_engulfing_gaussian_not_dropped(self):
         """A cull sphere containing the scan point covers every angular tile:

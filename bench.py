@@ -46,9 +46,9 @@ def main():
     ap.add_argument("--sigma-max", type=float, default=0.012)
     ap.add_argument("--t-theta", type=int, default=None)
     ap.add_argument("--t-phi", type=int, default=None)
-    ap.add_argument("--t-chunk", type=int, default=32)
+    ap.add_argument("--t-chunk", type=int, default=64)
     ap.add_argument("--g-tile", type=int, default=None)
-    ap.add_argument("--gate-bins", type=int, default=None,
+    ap.add_argument("--gate-bins", type=int, default=8,
                     help="radial gate granularity (bins) for in-kernel "
                          "skipping; must divide t-chunk")
     ap.add_argument("--bwd-bf16", action="store_true", default=True,
@@ -58,7 +58,7 @@ def main():
                     action="store_false")
     ap.add_argument("--fwd-bf16", action="store_true",
                     help="bf16 MXU forward channel contraction")
-    ap.add_argument("--scan-chunk", type=int, default=10,
+    ap.add_argument("--scan-chunk", type=int, default=30,
                     help="train steps per jitted dispatch (lax.scan); "
                          "1 = classic per-step dispatch")
     ap.add_argument("--trace", default=None, metavar="DIR",

@@ -234,7 +234,8 @@ def _erf_and_gauss(x):
 
 
 def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
-                   gw_ref, out_ref, *, t_ang, n_c, n_words, t_chunk, s_ang):
+                   gw_ref, out_ref, *, t_ang, n_c, n_words, t_chunk, s_ang,
+                   gate_bins):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -268,30 +269,41 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
         sqrt_half_qa = jnp.sqrt(0.5 * qa)
         shift = qb * inv2qa
         ws = [gw[:, FDIM + c] * smask for c in range(n_c)]
-        # March ONLY the item's active bins [bl, bh] (the block's exact
-        # radial interval): bins outside get zero tau from every member
-        # anyway (beyond the 3-sigma cull radius). One erf per active bin
-        # plus one for the range's lower edge.
+        # Gate-chunk march over the item's active bins [bl, bh] (the block's
+        # exact radial interval; bins outside get zero tau from every member —
+        # beyond the 3-sigma cull radius). Each gate evaluates ALL of its
+        # gate_bins+1 edge CDFs as INDEPENDENT unrolled 2D erf's — no
+        # loop-carried cdf; the per-bin serial erf chain was the old kernel's
+        # bottleneck (each erf waited on the previous bin's) — then deposits
+        # the per-bin differences. (A (B*S, K) sublane-concatenated variant
+        # hits Mosaic "Lane broadcast: not implemented"; per-bin deposits of
+        # the unrolled CDFs keep the hardware-validated store idiom.)
         j = fj[i]
         bl, bh = fbl[i], fbh[i]
 
-        def bin_body(b, cdf_prev):
-            cdf_cur = _erf(sqrt_half_qa * ((edges[j, b + 1] - tc) + shift))
-            tau = pref * (cdf_cur - cdf_prev)  # (S, K)
-            off = pl.multiple_of(b * s_ang, s_ang)
-            for c in range(n_c):
-                out_ref[0, pl.ds(off, s_ang), c] += jnp.sum(
-                    tau * ws[c][None, :], axis=1
-                )
-            return cdf_cur
+        def gate(g, carry):
+            b0 = g * gate_bins
+            cdfs = [
+                _erf(sqrt_half_qa * ((edges[j, b0 + e] - tc) + shift))
+                for e in range(gate_bins + 1)
+            ]
+            for b in range(gate_bins):
+                tau = pref * (cdfs[b + 1] - cdfs[b])  # (S, K)
+                off = pl.multiple_of((b0 + b) * s_ang, s_ang)
+                for c in range(n_c):
+                    out_ref[0, pl.ds(off, s_ang), c] += jnp.sum(
+                        tau * ws[c][None, :], axis=1
+                    )
+            return carry
 
-        cdf0 = _erf(sqrt_half_qa * ((edges[j, bl] - tc) + shift))
-        jax.lax.fori_loop(bl, bh + 1, bin_body, cdf0)
+        jax.lax.fori_loop(
+            bl // gate_bins, bh // gate_bins + 1, gate, jnp.int32(0)
+        )
 
 
 def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
                    gw_ref, go_ref, dgw_ref, *, t_ang, n_c, n_words, t_chunk,
-                   s_ang):
+                   s_ang, gate_bins):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -319,44 +331,58 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         shift = qb * inv2qa
         j = bj[i]
         half_qb = 0.5 * qb
-        wvs = [gw[:, FDIM + c] * smask for c in range(n_c)]
+        wm = jnp.stack(
+            [gw[:, FDIM + c] * smask for c in range(n_c)], axis=1
+        )  # (K, C)
         bl, bh = bbl[i], bbh[i]
+        s_gate = s_ang * gate_bins
 
-        # Active-range march: one fused erf+exp per active bin (E(s) =
-        # exp(-phi/2) * exp(-z^2) reuses the erf polynomial's exponential —
-        # m/2 = z^2 + phi/2 exactly).
-        def bin_body(b, carry):
-            cdf_prev, ex_prev, dqa, dqb, dqc, dw = carry
-            s0 = edges[j, b] - tc
-            s1 = edges[j, b + 1] - tc
-            cdf_cur, ex_cur = _erf_and_gauss(sqrt_half_qa * (s1 + shift))
-            e_prev = eh * ex_prev
-            e_cur = eh * ex_cur
-            i0 = pref * (cdf_cur - cdf_prev)  # (S, K) = tau
-            i1 = (e_prev - e_cur - half_qb * i0) * inv_qa
-            i2 = (i0 - half_qb * i1 - (s1 * e_cur - s0 * e_prev)) * inv_qa
-            off = pl.multiple_of(b * s_ang, s_ang)
-            go_b = go_ref[0, pl.ds(off, s_ang), :]  # (s_ang, C)
-            dtau = jnp.zeros_like(i0)
-            dw_new = []
-            for c in range(n_c):
-                dtau += go_b[:, c][:, None] * wvs[c][None, :]
-                dw_new.append(
-                    dw[:, c] + jnp.sum(go_b[:, c][:, None] * i0, axis=0)
+        # Gate-chunk march over the block's active radial interval (same
+        # schedule as the forward): every gate evaluates all gate_bins + 1
+        # edge (erf, exp) pairs as INDEPENDENT unrolled 2D ops — no
+        # loop-carried cdf chain, which was the serial bottleneck — then
+        # forms the exact moment integrals per bin (E(s) = exp(-phi/2) *
+        # exp(-z^2) reuses the erf polynomial's exponential; m/2 = z^2 +
+        # phi/2 exactly) and accumulates the quadratic cotangents. The
+        # go-side products ride MXU contractions (_hilo_matmul /
+        # _contract_s): the VPU lane-broadcast `go[:, c][:, None] * (1, K)`
+        # hits Mosaic "Lane broadcast: not implemented" on hardware for
+        # these layouts.
+        def gate(g, carry):
+            dqa, dqb, dqc, dw = carry
+            b0 = g * gate_bins
+            pairs = [
+                _erf_and_gauss(
+                    sqrt_half_qa * ((edges[j, b0 + e] - tc) + shift)
                 )
-            return (
-                cdf_cur, ex_cur,
-                dqa + dtau * (-0.5 * i2),
-                dqb + dtau * (-0.5 * i1),
-                dqc + dtau * (-0.5 * i0),
-                jnp.stack(dw_new, axis=1),
-            )
+                for e in range(gate_bins + 1)
+            ]
+            off = pl.multiple_of(b0 * s_ang, s_gate)
+            go_g = go_ref[0, pl.ds(off, s_gate), :]  # (B*S, C)
+            for b in range(gate_bins):
+                s0 = edges[j, b0 + b] - tc
+                s1 = edges[j, b0 + b + 1] - tc
+                cdf_prev, ex_prev = pairs[b]
+                cdf_cur, ex_cur = pairs[b + 1]
+                e_prev = eh * ex_prev
+                e_cur = eh * ex_cur
+                i0 = pref * (cdf_cur - cdf_prev)  # (S, K) = tau
+                i1 = (e_prev - e_cur - half_qb * i0) * inv_qa
+                i2 = (
+                    i0 - half_qb * i1 - (s1 * e_cur - s0 * e_prev)
+                ) * inv_qa
+                go_b = go_g[b * s_ang:(b + 1) * s_ang, :]  # static slice
+                dtau = _hilo_matmul(go_b, wm)  # (S, K)
+                dw = dw + _contract_s(i0, go_b)  # (K, C)
+                dqa = dqa + dtau * (-0.5 * i2)
+                dqb = dqb + dtau * (-0.5 * i1)
+                dqc = dqc + dtau * (-0.5 * i0)
+            return dqa, dqb, dqc, dw
 
-        cdf0, ex0 = _erf_and_gauss(sqrt_half_qa * ((edges[j, bl] - tc) + shift))
         zero = jnp.zeros_like(qa)
-        _, _, dqa, dqb, dqc, dw_kc = jax.lax.fori_loop(
-            bl, bh + 1, bin_body,
-            (cdf0, ex0, zero, zero, zero,
+        dqa, dqb, dqc, dw_kc = jax.lax.fori_loop(
+            bl // gate_bins, bh // gate_bins + 1, gate,
+            (zero, zero, zero,
              jnp.zeros((gw.shape[0], n_c), jnp.float32)),
         )
         dw_acc = [dw_kc[:, c] for c in range(n_c)]
@@ -467,7 +493,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
     out = pl.pallas_call(
         functools.partial(
             _an_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
-            t_chunk=spec.t_chunk, s_ang=s_ang,
+            t_chunk=spec.t_chunk, s_ang=s_ang, gate_bins=spec.gate_bins,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
@@ -533,7 +559,7 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
     dtable = pl.pallas_call(
         functools.partial(
             _an_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
-            t_chunk=spec.t_chunk, s_ang=s_ang,
+            t_chunk=spec.t_chunk, s_ang=s_ang, gate_bins=spec.gate_bins,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--scan", type=int, default=16, help="scan grid side")
     ap.add_argument("--scan-chunk", type=int, default=10)
+    ap.add_argument("--t-chunk", type=int, default=64)
+    ap.add_argument("--gate-bins", type=int, default=8)
     ap.add_argument("--out", default="docs/precision_bf16_vs_exact.json")
     args = ap.parse_args()
 
@@ -97,7 +99,8 @@ def main():
         ),
     )
 
-    base = RSortSpec(t_chunk=32)
+    # Match the headline benchmark's kernel schedule exactly.
+    base = RSortSpec(t_chunk=args.t_chunk, gate_bins=args.gate_bins)
     probe_cams = np.stack(
         [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
     ).astype(np.float32)
@@ -162,6 +165,13 @@ def main():
         "final_means_l2_gap": d_means,
         "means_l2_moved_from_init": moved,
     }
+    # Decision rule (committed with the artifact): the bf16 backward is
+    # "inside SGD noise" iff the tail-loss gap is smaller than the
+    # within-run tail standard deviation.
+    summary["bf16_inside_sgd_noise"] = bool(
+        abs(summary["tail_mean_loss_bf16"] - summary["tail_mean_loss_exact"])
+        < summary["tail_std_loss_exact"]
+    )
     log(json.dumps(summary, indent=2))
     out = {
         "summary": summary,
@@ -171,6 +181,32 @@ def main():
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f)
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        w = 25  # moving-average window for readability; raw curves in JSON
+        fig, ax = plt.subplots(figsize=(8, 4.5))
+        for name, curve in (("exact", losses_exact), ("bf16", losses_bf16)):
+            sm = np.convolve(curve, np.ones(w) / w, mode="valid")
+            ax.plot(np.arange(sm.size) + w - 1, sm, label=name, lw=1.2)
+        ax.set_xlabel("iteration")
+        ax.set_ylabel(f"loss ({w}-step moving avg)")
+        ax.set_yscale("log")
+        ax.set_title(
+            f"bf16 vs exact backward, {args.gaussians//1000}k Gaussians"
+        )
+        ax.legend()
+        fig.tight_layout()
+        png = os.path.splitext(args.out)[0] + ".png"
+        fig.savefig(png, dpi=120)
+        log(f"wrote {png}")
+    except Exception as e:  # pragma: no cover - plotting is best-effort
+        log(f"plot skipped: {e}")
+
     print(json.dumps(summary))
 
 

@@ -606,6 +606,22 @@ def untile_field(out: jax.Array, ns: int, num_r: int, spec: TileSpec,
     return full[:num_r, :ns, :ns]
 
 
+def untile_field_t(out: jax.Array, ns: int, num_r: int, spec: TileSpec,
+                   n_tt: int, n_pt: int, n_rt: int) -> jax.Array:
+    """(T, C, S) tiled field (samples on LANES) -> (num_r, ns, ns, C).
+
+    Transposed-slab counterpart of `untile_field` for the rsort kernels'
+    channel-major output layout."""
+    c = out.shape[1]
+    full = out.reshape(
+        n_rt, n_tt, n_pt, c, spec.t_r, spec.t_theta, spec.t_phi
+    ).transpose(0, 4, 1, 5, 2, 6, 3)
+    full = full.reshape(
+        n_rt * spec.t_r, n_tt * spec.t_theta, n_pt * spec.t_phi, c
+    )
+    return full[:num_r, :ns, :ns]
+
+
 def fused_gaussian_field(
     gfeat: jax.Array,  # (G, 10)
     channel_weights: jax.Array,  # (G, C)

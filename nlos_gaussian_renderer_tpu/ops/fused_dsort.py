@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from nlos_gaussian_renderer_tpu.ops.fused import TileSpec, untile_field
+from nlos_gaussian_renderer_tpu.ops.fused import TileSpec, untile_field_t
 from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
     _WORD_BITS,
     RSortSpec,
@@ -405,7 +405,8 @@ def dsort_gaussian_field(
 
     x_hi = xfeat.astype(jnp.bfloat16)
     x_lo = (xfeat - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xfeat_hl = jnp.concatenate([x_hi, x_lo], axis=-1)
+    # Samples on LANES (the rsort kernels' transposed-slab contract).
+    xfeat_hl = jnp.concatenate([x_hi, x_lo], axis=-1).transpose(0, 2, 1)
 
     out = rsort_field(
         xfeat_hl, centers, table3,
@@ -416,5 +417,5 @@ def dsort_gaussian_field(
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
         spec, (n_tt, n_pt, n_ch, n_words), interpret,
     )
-    field = untile_field(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
+    field = untile_field_t(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
     return field, tiles.overflowed

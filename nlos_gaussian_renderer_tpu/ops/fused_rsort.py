@@ -63,7 +63,7 @@ from nlos_gaussian_renderer_tpu.ops.fused import (
     FDIM,
     _interpret_default,
     tile_points_centered,
-    untile_field,
+    untile_field_t,
 )
 
 # Bits per packed pattern word. The in-kernel bit extraction computes
@@ -542,19 +542,17 @@ def _bf16_dot(a, b, dims):
     )
 
 
-def _maha_centered_bf16(x_hi, x_lo, gp):
-    """(S, 10)-pair centered monomials x (K, 10) centered forms -> (S, K).
+def _gcat_bf16(gp):
+    """(K, 10) centered forms -> (K, 30) bf16x3 contraction operand.
 
-    bf16x3-style product in ONE MXU pass: concatenating [x_hi, x_hi, x_lo]
-    against [g_hi, g_lo, g_hi] along K puts the three cross terms in a K=30
-    contraction, which the MXU pads to 128 anyway — same cost as K=10. The
-    dropped lo*lo term is ~2^-16 relative. f32 accumulation via
-    preferred_element_type.
+    Pairs with the transposed monomial slab `xcat = [x_hi; x_hi; x_lo]`
+    ((30, S), samples on LANES): m = gcat @ xcat is the bf16x3-style
+    Mahalanobis product in ONE MXU pass — the F=30 contraction pads to 128
+    anyway, same cost as F=10. The dropped lo*lo term is ~2^-16 relative;
+    f32 accumulation via preferred_element_type.
     """
     g_hi, g_lo = _split_hi_lo(gp)
-    xcat = jnp.concatenate([x_hi, x_hi, x_lo], axis=1)  # (S, 30) bf16
-    gcat = jnp.concatenate([g_hi, g_lo, g_hi], axis=1)  # (K, 30) bf16
-    return _bf16_dot(xcat, gcat, ((1,), (1,)))
+    return jnp.concatenate([g_hi, g_lo, g_hi], axis=1)  # (K, 30) bf16
 
 
 def _member_bits(words, t):
@@ -589,15 +587,16 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
         tile = fj[i] * t_ang + ft[i]
         x0, y0, z0 = cx[tile, 0], cx[tile, 1], cx[tile, 2]
         gw = gw_ref[0]
-        gp = _center_transform(gw[:, :FDIM], x0, y0, z0)
+        gcat = _gcat_bf16(_center_transform(gw[:, :FDIM], x0, y0, z0))
         smask = _member_bits(gw[:, FDIM + n_c:], ft[i])
         bl, bh = fbl[i], fbh[i]
+        # (C, K) masked channel weights: the K-contraction against p lands
+        # the per-channel field directly in the (C, S) output orientation.
+        wm = jnp.stack(
+            [gw[:, FDIM + c] * smask for c in range(n_c)], axis=0
+        )
         if p_bf16:
-            wm = jnp.stack(
-                [gw[:, FDIM + c] * smask for c in range(n_c)], axis=1
-            ).astype(jnp.bfloat16)  # (K, C)
-        else:
-            ws = [gw[:, FDIM + c] * smask for c in range(n_c)]
+            wm = wm.astype(jnp.bfloat16)
         s_gate = s_ang * gate_bins
         # Radial gating: loop ONLY the gate_bins-sized sub-chunks inside the
         # item's exact bin range — sub-chunks outside hold samples beyond
@@ -607,23 +606,32 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
 
         def gate(g, carry):
             off = pl.multiple_of(g * s_gate, s_gate)
-            m = _maha_centered_bf16(
-                x_ref[0, pl.ds(off, s_gate), :FDIM],
-                x_ref[0, pl.ds(off, s_gate), FDIM:],
-                gp,
-            )
+            xcat = jnp.concatenate(
+                [
+                    x_ref[0, :FDIM, pl.ds(off, s_gate)],
+                    x_ref[0, :FDIM, pl.ds(off, s_gate)],
+                    x_ref[0, FDIM:, pl.ds(off, s_gate)],
+                ],
+                axis=0,
+            )  # (30, S_g) bf16
+            m = _bf16_dot(gcat, xcat, ((1,), (0,)))  # (K, S_g)
             p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
             if p_bf16:
                 # One bf16 MXU pass replaces the per-channel VPU
                 # mul+reduce (~2e-4 relative on the field).
-                out_ref[0, pl.ds(off, s_gate), :] += _bf16_dot(
-                    p.astype(jnp.bfloat16), wm, ((1,), (0,))
+                out_ref[0, :, pl.ds(off, s_gate)] += _bf16_dot(
+                    wm, p.astype(jnp.bfloat16), ((1,), (0,))
                 )
             else:
-                for c in range(n_c):
-                    out_ref[0, pl.ds(off, s_gate), c] += jnp.sum(
-                        p * ws[c][None, :], axis=1
-                    )
+                # Exact path: the old orientation's `p * w[None, :]` VPU
+                # reduce would be a >128-wide lane broadcast here (Mosaic:
+                # unimplemented); a HIGHEST-precision (C, K) x (K, S) dot
+                # is bf16x3-exact and rides the MXU instead.
+                out_ref[0, :, pl.ds(off, s_gate)] += jax.lax.dot_general(
+                    wm, p, dimension_numbers=(((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
             return carry
 
         jax.lax.fori_loop(
@@ -636,9 +644,10 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
                    gate_bins, p_bf16=False):
     """Backward via the rank-C factorization of the cotangent chain.
 
-    With y_c[a, f] = go[a, c] * x[a, f] (an (S, F) array — F = 20x cheaper
-    than any per-(sample, gaussian) temporary), both gradients fall out of
-    ONE contraction Z_c = p^T @ y_c:
+    With y_c[f, a] = go[c, a] * x[f, a] (an (F, S) slab — F = 20x cheaper
+    than any per-(sample, gaussian) temporary; the go row is a SUBLANE
+    broadcast in the transposed layout), both gradients fall out of ONE
+    lane-contraction Z_c = p @ y_c^T:
         dg'[k, f] = -0.5 * sum_c w_c[k] * Z_c[k, f],
         dw_c[k]   = Z_c[k, 9]          (monomial column 9 is the constant 1).
     This removes the old (S, K) dm materialization, its hi/lo splits, and
@@ -665,7 +674,7 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
         tile = bj[i] * t_ang + bt[i]
         x0, y0, z0 = cx[tile, 0], cx[tile, 1], cx[tile, 2]
         gw = gw_ref[0]
-        gp = _center_transform(gw[:, :FDIM], x0, y0, z0)
+        gcat = _gcat_bf16(_center_transform(gw[:, :FDIM], x0, y0, z0))
         smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
         bl, bh = bbl[i], bbh[i]
         cf = n_c * FDIM
@@ -673,30 +682,31 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
 
         def gate(g, z):
             off = pl.multiple_of(g * s_gate, s_gate)
-            x_hi = x_ref[0, pl.ds(off, s_gate), :FDIM]
-            x_lo = x_ref[0, pl.ds(off, s_gate), FDIM:]
-            m = _maha_centered_bf16(x_hi, x_lo, gp)
+            x_hi = x_ref[0, :FDIM, pl.ds(off, s_gate)]
+            x_lo = x_ref[0, FDIM:, pl.ds(off, s_gate)]
+            xcat = jnp.concatenate([x_hi, x_hi, x_lo], axis=0)  # (30, S_g)
+            m = _bf16_dot(gcat, xcat, ((1,), (0,)))  # (K, S_g)
             xf32 = x_hi.astype(jnp.float32) + x_lo.astype(jnp.float32)
-            go_g = go_ref[0, pl.ds(off, s_gate), :]
-            ys = [go_g[:, c][:, None] * xf32 for c in range(n_c)]
-            ycat = jnp.concatenate(ys, axis=1)  # (S_g, C*F)
+            go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, S_g)
+            ys = [go_g[c:c + 1, :] * xf32 for c in range(n_c)]
+            ycat = jnp.concatenate(ys, axis=0)  # (C*F, S_g)
             if p_bf16:
                 # Single-pass variant: p and y in plain bf16 (no splits).
                 # The ~2^-8 relative error lands on gradients only.
                 p16 = jnp.exp(-0.5 * jnp.maximum(m, 0.0)).astype(jnp.bfloat16)
                 return z + _bf16_dot(
-                    p16, ycat.astype(jnp.bfloat16), ((0,), (0,))
+                    p16, ycat.astype(jnp.bfloat16), ((1,), (1,))
                 )
             p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
             p_hi, p_lo = _split_hi_lo(p)
             y_hi, y_lo = _split_hi_lo(ycat)
-            # Z = p^T ycat, bf16x3 over the S contraction in two passes
-            # ([y_hi | y_lo] share the first dot's lane padding, 2CF <= 128).
-            both = _bf16_dot(p_hi, jnp.concatenate([y_hi, y_lo], axis=1),
-                             ((0,), (0,)))  # (K, 2*C*F)
+            # Z = p ycat^T, bf16x3 over the S (lane) contraction in two
+            # passes ([y_hi; y_lo] stack on sublanes, 2CF <= 128 output).
+            both = _bf16_dot(p_hi, jnp.concatenate([y_hi, y_lo], axis=0),
+                             ((1,), (1,)))  # (K, 2*C*F)
             return (
                 z + both[:, :cf] + both[:, cf:]
-                + _bf16_dot(p_lo, y_hi, ((0,), (0,)))
+                + _bf16_dot(p_lo, y_hi, ((1,), (1,)))
             )
 
         z = jax.lax.fori_loop(
@@ -717,7 +727,7 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20))
 def rsort_field(
-    xfeat,  # (n_tiles_total, S, 20) CENTERED monomials, bf16 [hi | lo]
+    xfeat,  # (n_tiles_total, 20, S) CENTERED monomials, bf16 [hi; lo], S on LANES
     centers,  # (n_tiles_total, 3) tile centers
     table,  # (KB, g_tile, 10 + C + P) global layout: forms|weights|patterns
     fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh,  # (W,) forward work list
@@ -729,7 +739,17 @@ def rsort_field(
     dims: Tuple[int, int, int, int] = (4, 2, 25, 1),  # (n_tt, n_pt, n_ch, P)
     interpret: Optional[bool] = None,
 ):
-    """out (n_tiles_total, S, C) = per-chunk field sums (work-list-sparse)."""
+    """out (n_tiles_total, C, S) = per-chunk field sums (work-list-sparse).
+
+    Layout: the sample axis S rides LANES in every per-tile slab (xfeat,
+    out, and the backward's go). The old sample-on-sublanes orientation
+    lane-padded the C=1 output and 20-wide monomials to 128 lanes — at
+    t_chunk=64 that made the out/go windows 4 MB of mostly-padding DMA per
+    work item, which the profiler showed to be the kernels' bound. The
+    transposed slabs carry the same bytes at 1/16 the DMA. The Gaussian
+    table keeps its (K, width) row-major layout: all K-side math (center
+    transform, gradient assembly) contracts over lanes <= 128 there.
+    """
     return _rsort_fwd_impl(
         xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl,
         fwd_bh, n_items, tile_has_work, spec, dims, interpret,
@@ -750,7 +770,7 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
                     interpret):
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
-    s = xfeat.shape[1]
+    s = xfeat.shape[2]
     s_ang = spec.t_theta * spec.t_phi
     if spec.t_chunk % spec.gate_bins:
         raise ValueError(
@@ -780,12 +800,12 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
             num_scalar_prefetch=8,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, s, 2 * FDIM), x_map),
+                pl.BlockSpec((1, 2 * FDIM, s), x_map),
                 pl.BlockSpec((1, spec.g_tile, table.shape[-1]), g_map),
             ],
-            out_specs=pl.BlockSpec((1, s, c), x_map),
+            out_specs=pl.BlockSpec((1, c, s), x_map),
         ),
-        out_shape=jax.ShapeDtypeStruct((xfeat.shape[0], s, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((xfeat.shape[0], c, s), jnp.float32),
         interpret=interp,
     )(
         fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh, n_items, centers,
@@ -817,7 +837,7 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
      n_items, blk_has_work) = res
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
-    s = xfeat.shape[1]
+    s = xfeat.shape[2]
     s_ang = spec.t_theta * spec.t_phi
     f_in = table.shape[-1]
     c = f_in - FDIM - n_words
@@ -844,9 +864,9 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
             num_scalar_prefetch=8,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, s, 2 * FDIM), x_map),
+                pl.BlockSpec((1, 2 * FDIM, s), x_map),
                 pl.BlockSpec((1, spec.g_tile, f_in), g_map),
-                pl.BlockSpec((1, s, c), x_map),
+                pl.BlockSpec((1, c, s), x_map),
             ],
             out_specs=pl.BlockSpec((1, spec.g_tile, f_in), g_map),
         ),
@@ -1008,10 +1028,11 @@ def rsort_gaussian_field(
     table3 = table.reshape(kb, spec.g_tile, table.shape[-1])
 
     # Pre-split bf16 hi/lo monomials (same bytes as f32; saves the split on
-    # every kernel step).
+    # every kernel step), transposed so samples ride LANES in the kernel
+    # slabs (see rsort_field: 1/16 the window DMA of the row-major form).
     x_hi = xfeat.astype(jnp.bfloat16)
     x_lo = (xfeat - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xfeat_hl = jnp.concatenate([x_hi, x_lo], axis=-1)
+    xfeat_hl = jnp.concatenate([x_hi, x_lo], axis=-1).transpose(0, 2, 1)
 
     out = rsort_field(
         xfeat_hl, centers, table3,
@@ -1022,5 +1043,5 @@ def rsort_gaussian_field(
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
         spec, (n_tt, n_pt, n_ch, n_words), interpret,
     )
-    field = untile_field(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
+    field = untile_field_t(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
     return field, tiles.overflowed

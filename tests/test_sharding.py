@@ -158,8 +158,12 @@ class TestShardedBackends:
                           check_vma=False)
         )
         out = sharded(scene)
+        # atol floor: the transposed-slab kernels deposit via a K-contraction
+        # dot whose accumulation order differs between the sharded (32-row
+        # blocks + psum) and unsharded arrangements; tail bins of ~1e-4
+        # magnitude see ~5e-6 absolute rounding differences.
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   rtol=2e-3, atol=1e-7)
+                                   rtol=2e-3, atol=1e-5)
 
 
 class TestShardedPallasTraining:

@@ -56,7 +56,7 @@ from nlos_gaussian_renderer_tpu.ops.fused import (
     TileSpec,
     _interpret_default,
     tile_coords,
-    untile_field,
+    untile_field_t,
 )
 from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
     RSortSpec,
@@ -70,17 +70,18 @@ from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
     pad_gather,
 )
 
-# Ray-feature layout along the last axis of the xfeat input:
+# Ray-feature layout along the SUBLANE axis of the xfeat input (rays ride
+# LANES — the transposed-slab orientation shared with fused_rsort):
 #   [w0, w1, w2, w0^2, w1^2, w2^2, w0*w1, w0*w2, w1*w2] (9), then padding.
 XF_ANALYTIC = 16  # padded feature width (sublane-friendly)
 
 
 def analytic_ray_features(theta, phi, spec: RSortSpec):
-    """(T_ang, S_ang, XF) per-angular-tile unit directions + their mon2.
+    """(T_ang, XF, S_ang) per-angular-tile unit directions + their mon2.
 
     Sample order within a tile is (theta_local, phi_local) — consistent with
     `tile_coords`' (r, theta, phi) in-tile order once the kernel interleaves
-    the chunk's radial bins.
+    the chunk's radial bins. Rays on LANES, features on sublanes.
     """
     ns = theta.shape[0]
     n_tt = pl.cdiv(ns, spec.t_theta)
@@ -104,10 +105,10 @@ def analytic_ray_features(theta, phi, spec: RSortSpec):
     w0, w1, w2 = tiles[..., 0], tiles[..., 1], tiles[..., 2]
     feats = jnp.stack(
         [w0, w1, w2, w0 * w0, w1 * w1, w2 * w2, w0 * w1, w0 * w2, w1 * w2],
-        axis=-1,
-    )
-    pad = XF_ANALYTIC - feats.shape[-1]
-    return jnp.pad(feats, ((0, 0), (0, 0), (0, pad)))
+        axis=1,
+    )  # (T_ang, 9, S_ang)
+    pad = XF_ANALYTIC - feats.shape[1]
+    return jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
 
 
 def analytic_tile_aux(points, cam, ns, num_r, spec: RSortSpec):
@@ -148,54 +149,63 @@ def chunk_edges(r, spec: RSortSpec):
     return edges[idx]
 
 
-def _analytic_quadratics(xf, gp, aux_row):
-    """(qa, qb, qc) each (S, K) from centered forms gp and ray features."""
+def _quad_features(xf, aux_row):
+    """Transposed ray-feature slabs (rays on LANES) for the ray quadratics.
+
+    Returns (mon2_w (6, S), qb_feats (9, S), mon_u (10, S)): the dot-side
+    features of qa, qb, qc respectively (forward) and of the dqa/dqb/dqc
+    contractions (backward)."""
     d0, d1, d2, tc = aux_row[0], aux_row[1], aux_row[2], aux_row[3]
-    w = xf[:, :3]
-    mon2_w = xf[:, 3:9]  # [w0^2, w1^2, w2^2, w0w1, w0w2, w1w2]
-    u0 = d0 + tc * w[:, 0]
-    u1 = d1 + tc * w[:, 1]
-    u2 = d2 + tc * w[:, 2]
-    # qa = w^T A w: mon2(w) . A6 (packed off-diagonals already doubled).
-    a6 = gp[:, :6]
-    qa = _hilo_matmul(mon2_w, a6)
-    # qb = 2 u^T A w + b'.w: mixed features . A6 + w . b'.
+    w0, w1, w2 = xf[0, :], xf[1, :], xf[2, :]
+    mon2_w = xf[3:9, :]  # [w0^2, w1^2, w2^2, w0w1, w0w2, w1w2] rows
+    u0 = d0 + tc * w0
+    u1 = d1 + tc * w1
+    u2 = d2 + tc * w2
     mixed = jnp.stack(
         [
-            2.0 * u0 * w[:, 0],
-            2.0 * u1 * w[:, 1],
-            2.0 * u2 * w[:, 2],
-            u0 * w[:, 1] + u1 * w[:, 0],
-            u0 * w[:, 2] + u2 * w[:, 0],
-            u1 * w[:, 2] + u2 * w[:, 1],
+            2.0 * u0 * w0,
+            2.0 * u1 * w1,
+            2.0 * u2 * w2,
+            u0 * w1 + u1 * w0,
+            u0 * w2 + u2 * w0,
+            u1 * w2 + u2 * w1,
         ],
-        axis=1,
-    )  # (S, 6)
-    qb_feats = jnp.concatenate([mixed, w], axis=1)  # (S, 9)
-    qb = _hilo_matmul(qb_feats, gp[:, :9])
-    # qc = mon(u) . g' (all 10 centered-form components).
+        axis=0,
+    )  # (6, S)
+    qb_feats = jnp.concatenate([mixed, xf[:3, :]], axis=0)  # (9, S)
     one = jnp.ones_like(u0)
     mon_u = jnp.stack(
         [u0 * u0, u1 * u1, u2 * u2, u0 * u1, u0 * u2, u1 * u2,
          u0, u1, u2, one],
-        axis=1,
-    )  # (S, 10)
-    qc = _hilo_matmul(mon_u, gp)
+        axis=0,
+    )  # (10, S)
+    return mon2_w, qb_feats, mon_u
+
+
+def _analytic_quadratics(feats, gp):
+    """(qa, qb, qc) each (K, S) from centered forms gp (K, 10) and the
+    `_quad_features` slabs."""
+    mon2_w, qb_feats, mon_u = feats
+    # qa = w^T A w: A6 . mon2(w) (packed off-diagonals already doubled);
+    # qb = 2 u^T A w + b'.w; qc = mon(u) . g' (all 10 components).
+    qa = _hilo_matmul(gp[:, :6], mon2_w)
+    qb = _hilo_matmul(gp[:, :9], qb_feats)
+    qc = _hilo_matmul(gp, mon_u)
     return qa, qb, qc
 
 
-def _hilo_matmul(x, g):
-    """bf16x3-style (S, F) x (K, F) -> (S, K) with f32 accumulation.
+def _hilo_matmul(g, x):
+    """bf16x3-style (K, F) x (F, S) -> (K, S) with f32 accumulation.
 
-    Same one-pass trick as `fused_rsort._maha_centered_bf16`: concatenate
-    [x_hi, x_hi, x_lo] against [g_hi, g_lo, g_hi] along F (3F <= 128 pads
+    Same one-pass trick as `fused_rsort._gcat_bf16`: concatenate
+    [g_hi, g_lo, g_hi] against [x_hi; x_hi; x_lo] along F (3F <= 128 pads
     into one MXU pass; the lo*lo term is ~2^-16 relative).
     """
-    x_hi, x_lo = _split_hi_lo(x)
     g_hi, g_lo = _split_hi_lo(g)
-    xcat = jnp.concatenate([x_hi, x_hi, x_lo], axis=1)
-    gcat = jnp.concatenate([g_hi, g_lo, g_hi], axis=1)
-    return _bf16_dot(xcat, gcat, ((1,), (1,)))
+    x_hi, x_lo = _split_hi_lo(x)
+    gcat = jnp.concatenate([g_hi, g_lo, g_hi], axis=1)  # (K, 3F)
+    xcat = jnp.concatenate([x_hi, x_hi, x_lo], axis=0)  # (3F, S)
+    return _bf16_dot(gcat, xcat, ((1,), (0,)))
 
 
 _SQRT_2PI = 2.5066282746310002
@@ -256,30 +266,33 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
         cx2 = aux[tile, 6]
         gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
         smask = _member_bits(gw[:, FDIM + n_c:], ft[i])
-        xf = xf_ref[0]
-        qa, qb, qc = _analytic_quadratics(
-            xf, gp, (d0, d1, d2, tc)
-        )  # (S_ang, K) each
+        xf = xf_ref[0]  # (XF, S_ang), rays on lanes
+        feats = _quad_features(xf, (d0, d1, d2, tc))
+        qa, qb, qc = _analytic_quadratics(feats, gp)  # (K, S_ang) each
         qa = jnp.maximum(qa, 1e-8)
         inv2qa = 0.5 / qa
         phi = jnp.maximum(qc - qb * qb * inv2qa * 0.5, 0.0)
         pref = (
             0.5 * _SQRT_2PI * jax.lax.rsqrt(qa) * jnp.exp(-0.5 * phi)
-        )  # (S, K)
+        )  # (K, S)
         sqrt_half_qa = jnp.sqrt(0.5 * qa)
         shift = qb * inv2qa
-        ws = [gw[:, FDIM + c] * smask for c in range(n_c)]
+        # (C, K) masked channel weights: the K contraction against the
+        # gate's tau slab deposits straight into the (C, S) output rows.
+        wm = jnp.stack(
+            [gw[:, FDIM + c] * smask for c in range(n_c)], axis=0
+        )
         # Gate-chunk march over the item's active bins [bl, bh] (the block's
         # exact radial interval; bins outside get zero tau from every member —
         # beyond the 3-sigma cull radius). Each gate evaluates ALL of its
         # gate_bins+1 edge CDFs as INDEPENDENT unrolled 2D erf's — no
         # loop-carried cdf; the per-bin serial erf chain was the old kernel's
-        # bottleneck (each erf waited on the previous bin's) — then deposits
-        # the per-bin differences. (A (B*S, K) sublane-concatenated variant
-        # hits Mosaic "Lane broadcast: not implemented"; per-bin deposits of
-        # the unrolled CDFs keep the hardware-validated store idiom.)
+        # bottleneck (each erf waited on the previous bin's). The per-bin
+        # taus concatenate on LANES into one (K, s_gate) slab whose single
+        # HIGHEST-precision MXU pass against wm deposits the whole gate.
         j = fj[i]
         bl, bh = fbl[i], fbh[i]
+        s_gate = s_ang * gate_bins
 
         def gate(g, carry):
             b0 = g * gate_bins
@@ -287,13 +300,16 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
                 _erf(sqrt_half_qa * ((edges[j, b0 + e] - tc) + shift))
                 for e in range(gate_bins + 1)
             ]
-            for b in range(gate_bins):
-                tau = pref * (cdfs[b + 1] - cdfs[b])  # (S, K)
-                off = pl.multiple_of((b0 + b) * s_ang, s_ang)
-                for c in range(n_c):
-                    out_ref[0, pl.ds(off, s_ang), c] += jnp.sum(
-                        tau * ws[c][None, :], axis=1
-                    )
+            taus = jnp.concatenate(
+                [pref * (cdfs[b + 1] - cdfs[b]) for b in range(gate_bins)],
+                axis=1,
+            )  # (K, s_gate)
+            off = pl.multiple_of(b0 * s_ang, s_gate)
+            out_ref[0, :, pl.ds(off, s_gate)] += jax.lax.dot_general(
+                wm, taus, dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
             return carry
 
         jax.lax.fori_loop(
@@ -319,8 +335,9 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         cx0, cx1, cx2 = aux[tile, 4], aux[tile, 5], aux[tile, 6]
         gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
         smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
-        xf = xf_ref[0]
-        qa, qb, qc = _analytic_quadratics(xf, gp, (d0, d1, d2, tc))
+        xf = xf_ref[0]  # (XF, S_ang), rays on lanes
+        feats = _quad_features(xf, (d0, d1, d2, tc))
+        qa, qb, qc = _analytic_quadratics(feats, gp)  # (K, S_ang) each
         qa = jnp.maximum(qa, 1e-8)
         inv_qa = 1.0 / qa
         inv2qa = 0.5 * inv_qa
@@ -334,6 +351,14 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         wm = jnp.stack(
             [gw[:, FDIM + c] * smask for c in range(n_c)], axis=1
         )  # (K, C)
+        # Pre-split hi/lo halves of the dtau contraction's K-side operand,
+        # padded to an 8-deep contraction: Mosaic cannot lower a HIGHEST
+        # (or tiny-C) f32 dot here ('vector.broadcast' bf16->f32 verifier
+        # failure on hardware), so dtau rides the proven bf16x3 pattern.
+        w_hi, w_lo = _split_hi_lo(wm)
+        cpad = ((3 * n_c + 7) // 8) * 8
+        pad_c = jnp.zeros((wm.shape[0], cpad - 3 * n_c), jnp.bfloat16)
+        wcat = jnp.concatenate([w_hi, w_lo, w_hi, pad_c], axis=1)  # (K, cpad)
         bl, bh = bbl[i], bbh[i]
         s_gate = s_ang * gate_bins
 
@@ -343,11 +368,9 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         # loop-carried cdf chain, which was the serial bottleneck — then
         # forms the exact moment integrals per bin (E(s) = exp(-phi/2) *
         # exp(-z^2) reuses the erf polynomial's exponential; m/2 = z^2 +
-        # phi/2 exactly) and accumulates the quadratic cotangents. The
-        # go-side products ride MXU contractions (_hilo_matmul /
-        # _contract_s): the VPU lane-broadcast `go[:, c][:, None] * (1, K)`
-        # hits Mosaic "Lane broadcast: not implemented" on hardware for
-        # these layouts.
+        # phi/2 exactly) and accumulates the quadratic cotangents. All
+        # (K, S) slabs keep rays on LANES; the go-side products ride MXU
+        # contractions over C (dtau) and S (dw).
         def gate(g, carry):
             dqa, dqb, dqc, dw = carry
             b0 = g * gate_bins
@@ -358,7 +381,7 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
                 for e in range(gate_bins + 1)
             ]
             off = pl.multiple_of(b0 * s_ang, s_gate)
-            go_g = go_ref[0, pl.ds(off, s_gate), :]  # (B*S, C)
+            go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, B*S)
             for b in range(gate_bins):
                 s0 = edges[j, b0 + b] - tc
                 s1 = edges[j, b0 + b + 1] - tc
@@ -366,13 +389,20 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
                 cdf_cur, ex_cur = pairs[b + 1]
                 e_prev = eh * ex_prev
                 e_cur = eh * ex_cur
-                i0 = pref * (cdf_cur - cdf_prev)  # (S, K) = tau
+                i0 = pref * (cdf_cur - cdf_prev)  # (K, S) = tau
                 i1 = (e_prev - e_cur - half_qb * i0) * inv_qa
                 i2 = (
                     i0 - half_qb * i1 - (s1 * e_cur - s0 * e_prev)
                 ) * inv_qa
-                go_b = go_g[b * s_ang:(b + 1) * s_ang, :]  # static slice
-                dtau = _hilo_matmul(go_b, wm)  # (S, K)
+                go_b = go_g[:, b * s_ang:(b + 1) * s_ang]  # (C, S) static
+                # dtau[k, s] = sum_c w[k, c] * go[c, s]: bf16x3 over the
+                # zero-padded C contraction (see wcat above).
+                g_hi, g_lo = _split_hi_lo(go_b)
+                pad_s = jnp.zeros(
+                    (wcat.shape[1] - 3 * n_c, go_b.shape[1]), jnp.bfloat16
+                )
+                gocat = jnp.concatenate([g_hi, g_hi, g_lo, pad_s], axis=0)
+                dtau = _bf16_dot(wcat, gocat, ((1,), (0,)))  # (K, S)
                 dw = dw + _contract_s(i0, go_b)  # (K, C)
                 dqa = dqa + dtau * (-0.5 * i2)
                 dqb = dqb + dtau * (-0.5 * i1)
@@ -387,34 +417,13 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         )
         dw_acc = [dw_kc[:, c] for c in range(n_c)]
 
-        # Assemble dg' from the three contraction transposes (contract S).
-        w = xf[:, :3]
-        mon2_w = xf[:, 3:9]
-        u0 = d0 + tc * w[:, 0]
-        u1 = d1 + tc * w[:, 1]
-        u2 = d2 + tc * w[:, 2]
-        mixed = jnp.stack(
-            [
-                2.0 * u0 * w[:, 0],
-                2.0 * u1 * w[:, 1],
-                2.0 * u2 * w[:, 2],
-                u0 * w[:, 1] + u1 * w[:, 0],
-                u0 * w[:, 2] + u2 * w[:, 0],
-                u1 * w[:, 2] + u2 * w[:, 1],
-            ],
-            axis=1,
-        )
-        one = jnp.ones_like(u0)
-        mon_u = jnp.stack(
-            [u0 * u0, u1 * u1, u2 * u2, u0 * u1, u0 * u2, u1 * u2,
-             u0, u1, u2, one],
-            axis=1,
-        )
-        # dgp[k, f]: qc hits all 10; qb hits [:6] via mixed and [6:9] via w;
-        # qa hits [:6] via mon2(w). Contractions over S (<= 128): bf16x3 in
-        # two passes each ([x_hi | x_lo] lane-shared, lo x hi separate).
+        # Assemble dg' from the three contraction transposes (contract S,
+        # the lane axis). The `_quad_features` slabs are exactly the
+        # feature sides: qc hits all 10 via mon_u; qb hits [:9] via
+        # qb_feats; qa hits [:6] via mon2(w).
+        mon2_w, qb_feats, mon_u = feats
         dgp = _contract_s(dqc, mon_u)
-        dgp_b = _contract_s(dqb, jnp.concatenate([mixed, w], axis=1))  # (K, 9)
+        dgp_b = _contract_s(dqb, qb_feats)  # (K, 9)
         dgp_a = _contract_s(dqa, mon2_w)  # (K, 6)
         dgp = (
             dgp
@@ -431,18 +440,33 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
 
 
 def _contract_s(dq, feats):
-    """(S, K), (S, F) -> (K, F) bf16x3 over the S contraction."""
+    """(K, S), (F, S) -> (K, F) bf16x3 over the S (lane) contraction.
+
+    The non-contracting rhs dim is padded to a multiple of 8 sublanes:
+    Mosaic's ((1,),(1,)) bf16 dot lowering emits an invalid
+    'vector.broadcast' (bf16 -> f32) when that dim is under a sublane tile
+    (hardware-verified failure at F=2; the rsort backward's 2CF>=8 shapes
+    lower fine)."""
+    f = feats.shape[0]
+    pad = (-f) % 8
+    if pad:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)], axis=0
+        )
     dq_hi, dq_lo = _split_hi_lo(dq)
     f_hi, f_lo = _split_hi_lo(feats)
-    both = _bf16_dot(dq_hi, jnp.concatenate([f_hi, f_lo], axis=1),
-                     ((0,), (0,)))  # (K, 2F)
-    f = feats.shape[1]
-    return both[:, :f] + both[:, f:] + _bf16_dot(dq_lo, f_hi, ((0,), (0,)))
+    both = _bf16_dot(dq_hi, jnp.concatenate([f_hi, f_lo], axis=0),
+                     ((1,), (1,)))  # (K, 2*(F+pad))
+    fp = f + pad
+    return (
+        both[:, :f] + both[:, fp:fp + f]
+        + _bf16_dot(dq_lo, f_hi, ((1,), (1,)))[:, :f]
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21))
 def analytic_rsort_field(
-    xfeat,  # (T_ang, S_ang, XF) ray features
+    xfeat,  # (T_ang, XF, S_ang) ray features, rays on LANES
     aux,  # (n_tiles_total, 8) [delta(3), t_c, x0(3), pad]
     edges,  # (n_ch, t_chunk + 1)
     table,  # (KB, g_tile, 10 + C + P)
@@ -455,8 +479,9 @@ def analytic_rsort_field(
     dims: Tuple[int, int, int, int] = (4, 2, 25, 1),
     interpret: Optional[bool] = None,
 ):
-    """out (n_tiles_total, S, C): exact per-bin optical depths (tau), summed
-    over the block's Gaussians with their channel weights."""
+    """out (n_tiles_total, C, S): exact per-bin optical depths (tau), summed
+    over the block's Gaussians with their channel weights (samples on
+    LANES — the transposed-slab layout shared with `rsort_field`)."""
     return _an_fwd_impl(
         xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl,
         fwd_bh, n_items, tile_has_work, spec, dims, interpret,
@@ -468,7 +493,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
                  interpret):
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
-    s_ang = xfeat.shape[1]
+    s_ang = xfeat.shape[2]
     s = s_ang * spec.t_chunk
     c = table.shape[-1] - FDIM - n_words
     interp = _interpret_default() if interpret is None else interpret
@@ -499,12 +524,12 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
             num_scalar_prefetch=9,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, s_ang, XF_ANALYTIC), x_map),
+                pl.BlockSpec((1, XF_ANALYTIC, s_ang), x_map),
                 pl.BlockSpec((1, spec.g_tile, table.shape[-1]), g_map),
             ],
-            out_specs=pl.BlockSpec((1, s, c), o_map),
+            out_specs=pl.BlockSpec((1, c, s), o_map),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles_total, s, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles_total, c, s), jnp.float32),
         interpret=interp,
     )(
         fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh, n_items, aux, edges,
@@ -534,7 +559,7 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
      bwd_bh, n_items, blk_has_work) = res
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
-    s_ang = xfeat.shape[1]
+    s_ang = xfeat.shape[2]
     s = s_ang * spec.t_chunk
     f_in = table.shape[-1]
     c = f_in - FDIM - n_words
@@ -565,9 +590,9 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
             num_scalar_prefetch=9,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, s_ang, XF_ANALYTIC), x_map),
+                pl.BlockSpec((1, XF_ANALYTIC, s_ang), x_map),
                 pl.BlockSpec((1, spec.g_tile, f_in), g_map),
-                pl.BlockSpec((1, s, c), o_map),
+                pl.BlockSpec((1, c, s), o_map),
             ],
             out_specs=pl.BlockSpec((1, spec.g_tile, f_in), g_map),
         ),
@@ -635,7 +660,7 @@ def analytic_gaussian_field(
         spec, (n_tt, n_pt, n_ch, n_words), interpret,
     )
     tp = TileSpec(t_theta=spec.t_theta, t_phi=spec.t_phi, t_r=spec.t_chunk)
-    field = untile_field(out, ns, num_r, tp, n_tt, n_pt, n_ch)
+    field = untile_field_t(out, ns, num_r, tp, n_tt, n_pt, n_ch)
     widths = (edges[:, 1:] - edges[:, :-1]).reshape(-1)[:num_r]
     field = field / widths[:, None, None, None]
     return field, tiles.overflowed

@@ -133,11 +133,11 @@ class TestRayFeatures:
         expect = np.array(
             [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)]
         )
-        got = np.asarray(xf[tt * n_pt + pt, i * SPEC.t_phi + j, :3])
+        got = np.asarray(xf[tt * n_pt + pt, :3, i * SPEC.t_phi + j])
         np.testing.assert_allclose(got, expect, rtol=1e-6)
         # mon2 columns are consistent with the direction columns.
         w = got
-        mon2 = np.asarray(xf[tt * n_pt + pt, i * SPEC.t_phi + j, 3:9])
+        mon2 = np.asarray(xf[tt * n_pt + pt, 3:9, i * SPEC.t_phi + j])
         np.testing.assert_allclose(
             mon2,
             [w[0] ** 2, w[1] ** 2, w[2] ** 2, w[0] * w[1], w[0] * w[2],

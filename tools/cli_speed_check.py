@@ -13,6 +13,11 @@ Prints one JSON line {"fit_ms_per_iter": ..., "bench_ms_per_iter": <ref>}.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

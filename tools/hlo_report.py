@@ -14,6 +14,11 @@ Usage: python tools/hlo_report.py [--gaussians N] [--scan-chunk K]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import collections
 import re

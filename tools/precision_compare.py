@@ -13,6 +13,11 @@ statistics. Run on the TPU:  python tools/precision_compare.py
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
@@ -76,16 +81,21 @@ def main():
     settings_dense = RenderSettings(
         num_sampling_points=32, start=100, end=300, backend="dense"
     )
-    log("rendering GT targets (dense)...")
+    log("rendering GT targets (dense, chunked)...")
     gt_times = 100.0
-    targets = (
-        render_histogram_batch(
-            gt, cam_grid, box, c, delta_t, jnp.asarray(volume_position), 0,
-            settings_dense,
+    # Chunked: the dense path materializes (G, 200*32^2) per cam — the whole
+    # 256-cam batch at once is ~13 GB and OOMs the chip.
+    tgt_chunks = []
+    for i0 in range(0, cam_grid.shape[0], 16):
+        tgt_chunks.append(
+            jax.device_get(
+                render_histogram_batch(
+                    gt, cam_grid[i0:i0 + 16], box, c, delta_t,
+                    jnp.asarray(volume_position), 0, settings_dense,
+                )
+            )
         )
-        * gt_times
-    )
-    targets = jax.device_get(targets)  # (S², num_r)
+    targets = np.concatenate(tgt_chunks, axis=0) * gt_times  # (S², num_r)
 
     # Trainee scene: 100k random init in the volume (bench-style scales).
     scene0 = make_ground_truth_scene(

@@ -244,7 +244,7 @@ def _erf_and_gauss(x):
 
 
 def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
-                   gw_ref, out_ref, *, t_ang, n_c, n_words, t_chunk, s_ang,
+                   gw_ref, out_ref, *, t_ang, n_c, n_words, n_tt, n_pt, t_chunk, s_ang,
                    gate_bins):
     i = pl.program_id(0)
     live = i < cnt[0]
@@ -265,7 +265,7 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
         cx1 = aux[tile, 5]
         cx2 = aux[tile, 6]
         gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
-        smask = _member_bits(gw[:, FDIM + n_c:], ft[i])
+        smask = _member_bits(gw[:, FDIM + n_c:], ft[i], n_tt, n_pt)
         xf = xf_ref[0]  # (XF, S_ang), rays on lanes
         feats = _quad_features(xf, (d0, d1, d2, tc))
         qa, qb, qc = _analytic_quadratics(feats, gp)  # (K, S_ang) each
@@ -318,7 +318,7 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
 
 
 def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
-                   gw_ref, go_ref, dgw_ref, *, t_ang, n_c, n_words, t_chunk,
+                   gw_ref, go_ref, dgw_ref, *, t_ang, n_c, n_words, n_tt, n_pt, t_chunk,
                    s_ang, gate_bins):
     i = pl.program_id(0)
     live = i < cnt[0]
@@ -334,7 +334,7 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         d0, d1, d2, tc = aux[tile, 0], aux[tile, 1], aux[tile, 2], aux[tile, 3]
         cx0, cx1, cx2 = aux[tile, 4], aux[tile, 5], aux[tile, 6]
         gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
-        smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
+        smask = _member_bits(gw[:, FDIM + n_c:], bt[i], n_tt, n_pt)
         xf = xf_ref[0]  # (XF, S_ang), rays on lanes
         feats = _quad_features(xf, (d0, d1, d2, tc))
         qa, qb, qc = _analytic_quadratics(feats, gp)  # (K, S_ang) each
@@ -518,6 +518,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
     out = pl.pallas_call(
         functools.partial(
             _an_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
+            n_tt=n_tt, n_pt=n_pt,
             t_chunk=spec.t_chunk, s_ang=s_ang, gate_bins=spec.gate_bins,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -584,6 +585,7 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
     dtable = pl.pallas_call(
         functools.partial(
             _an_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
+            n_tt=n_tt, n_pt=n_pt,
             t_chunk=spec.t_chunk, s_ang=s_ang, gate_bins=spec.gate_bins,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -40,21 +40,19 @@ from jax.experimental import pallas as pl
 
 from nlos_gaussian_renderer_tpu.ops.fused import TileSpec, untile_field_t
 from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
-    _WORD_BITS,
     RSortSpec,
+    _full_rect_word,
     angular_footprints,
     rsort_field,
     tile_points_centered,
 )
-
-_ALL_BITS = (1 << _WORD_BITS) - 1  # all-ones membership word
 
 
 class DSortTiles(NamedTuple):
     """Duplicated-layout cull result (kernel-facing fields mirror RSortTiles)."""
 
     full_perm: jax.Array  # (G_pad,) padded slot -> ORIGINAL gaussian row
-    words: jax.Array  # (G_pad, P) all-ones for valid slots, 0 for padding
+    words: jax.Array  # (G_pad, 1) full-rect word for valid slots, 0 for padding
     counts: jax.Array  # (T_ang,) per-tile duplicate counts (diagnostics)
     fwd_t: jax.Array
     fwd_j: jax.Array
@@ -157,11 +155,14 @@ def dsort_cull(
     pos = jnp.arange(g * d_max, dtype=jnp.int32) - left[tile_idx]
     dest = jnp.where(valid_s, start_t[tile_idx] + pos, g_pad)
     row_overflow = jnp.any(jnp.where(valid_s, dest, 0) >= g_pad)
-    n_words = pl.cdiv(t_ang, _WORD_BITS)
+    # Duplicated rows belong to every block of their own tile by
+    # construction, so their rect word claims full coverage (slot validity
+    # still comes from word != 0; padding rows scatter to 0).
+    n_words = 1
     sc_vals = jnp.concatenate(
         [
             src_s[:, None],
-            jnp.full((g * d_max, n_words), _ALL_BITS, jnp.int32),
+            jnp.full((g * d_max, 1), _full_rect_word(n_tt, n_pt), jnp.int32),
         ],
         axis=1,
     )

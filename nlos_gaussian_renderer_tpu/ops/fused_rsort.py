@@ -31,10 +31,18 @@ pipeline `submodules/cuda-renderer/cuda/volume_renderer.cu:16-185` +
      directly into global-layout blocks. The gradient "scatter-back" is now
      one cheap inverse-permutation gather.
 
-Per-Gaussian tile membership rides into the kernel as packed 12-bit pattern
-words (extra float32 table columns; see _WORD_BITS for why 12); the kernel
-extracts the current tile's bit on the VPU. Padding slots and dead Gaussians
-carry pattern 0, so slot-validity masking comes free from the same bit.
+Per-Gaussian tile membership rides into the kernel as ONE packed
+footprint-RECTANGLE word (an extra float32 table column): a Gaussian's
+angular footprint is an interval on each tile axis (`angular_footprints`),
+so its membership pattern is always a rectangle [th_lo, th_hi] x
+[ph_lo, ph_hi] of the tile grid. The word packs
+[valid | th_lo | th_hi | ph_lo | ph_hi] into <= 23 bits (f32-exact for the
+kernel's scaled-floor field extraction, see `_rect_bits`), which keeps the
+cull a SINGLE packed-key sort and the table one pattern column at ANY tile
+geometry — a 64-tile 4x4 grid costs the same sort as the 8-tile 8x16 grid,
+where a membership *bitmap* would need 6 words and a 7-key sort. Padding
+slots and dead Gaussians carry word 0 (valid bit 0), so slot-validity
+masking comes free from the same decode.
 
 The kernels evaluate the Mahalanobis quadratic form **centered at each
 tile's sample centroid** so the MXU contraction runs in bf16 with an
@@ -66,13 +74,51 @@ from nlos_gaussian_renderer_tpu.ops.fused import (
     untile_field_t,
 )
 
-# Bits per packed pattern word. The in-kernel bit extraction computes
-# floor(word * 2^-t) on floats: with 12-bit words the product's mantissa is
-# the word's own 12 bits — always f32-exact. 24-bit words are NOT safe even
-# though the integers themselves are exact: (2^24-1) * 2^-15 lies exactly
-# halfway between two f32 values and ties-to-even rounds it UP to 512.0,
-# flipping the extracted bit (a dense pattern word silently dropped tiles).
-_WORD_BITS = 12
+def _rect_bits(n_tt: int, n_pt: int) -> Tuple[int, int, int]:
+    """Static bit widths (b_t, b_p, total) of the packed rectangle word.
+
+    Layout (MSB first): [valid(1) | th_lo(b_t) | th_hi(b_t) | ph_lo(b_p) |
+    ph_hi(b_p)]. The kernel decodes fields with floor(word * 2^-k) float
+    arithmetic, exact while the word value stays below 2^24 (an integer
+    scaled by a power of two keeps its own mantissa; 24-bit words are NOT
+    safe — (2^24-1) * 2^-15 lies exactly halfway between two f32 values and
+    ties-to-even flips the top field — so `rsort_cull` asserts total <= 23).
+    """
+    b_t = max(int(n_tt - 1).bit_length(), 1)
+    b_p = max(int(n_pt - 1).bit_length(), 1)
+    return b_t, b_p, 1 + 2 * b_t + 2 * b_p
+
+
+def _full_rect_word(n_tt: int, n_pt: int) -> int:
+    """Word claiming membership of EVERY tile (dsort's duplicated rows)."""
+    b_t, b_p, _ = _rect_bits(n_tt, n_pt)
+    w = 1
+    w = (w << b_t) | 0
+    w = (w << b_t) | (n_tt - 1)
+    w = (w << b_p) | 0
+    w = (w << b_p) | (n_pt - 1)
+    return w
+
+
+def decode_rect_members(words, n_tt: int, n_pt: int):
+    """(R,) int32 rect words -> (R, n_tt*n_pt) bool membership (cull/tests)."""
+    b_t, b_p, _ = _rect_bits(n_tt, n_pt)
+    v = jnp.asarray(words, jnp.int32).reshape(-1)
+    ph_hi = v & ((1 << b_p) - 1)
+    v1 = v >> b_p
+    ph_lo = v1 & ((1 << b_p) - 1)
+    v2 = v1 >> b_p
+    th_hi = v2 & ((1 << b_t) - 1)
+    v3 = v2 >> b_t
+    th_lo = v3 & ((1 << b_t) - 1)
+    valid = (v3 >> b_t) > 0
+    t = jnp.arange(n_tt * n_pt, dtype=jnp.int32)
+    tt, pt = t // n_pt, t % n_pt
+    return (
+        valid[:, None]
+        & (tt[None, :] >= th_lo[:, None]) & (tt[None, :] <= th_hi[:, None])
+        & (pt[None, :] >= ph_lo[:, None]) & (pt[None, :] <= ph_hi[:, None])
+    )
 
 
 class RSortSpec(NamedTuple):
@@ -113,7 +159,7 @@ class RSortTiles(NamedTuple):
 
     full_perm: jax.Array  # (G_pad,) int32 padded slot -> original row
     inv_perm: jax.Array  # (G,) int32 original row -> padded slot (G_pad = culled)
-    words: jax.Array  # (G_pad, P) int32 packed membership patterns
+    words: jax.Array  # (G_pad, 1) int32 packed footprint-rectangle words
     counts: jax.Array  # (T_ang,) int32 per-tile member counts (diagnostics)
     # Flat work list, forward order (sorted by tile, chunk, block):
     fwd_t: jax.Array  # (W,) int32 angular tile
@@ -232,59 +278,57 @@ def rsort_cull(
     ).reshape(g, t_ang)
     counts = jnp.sum(mask.astype(jnp.int32), axis=0)  # (T_ang,) diagnostics
 
-    # Pack tile membership into 12-bit words (float32-exact extraction).
-    n_words = pl.cdiv(t_ang, _WORD_BITS)
-    bits_pad = jnp.pad(
-        mask.astype(jnp.int32), ((0, 0), (0, n_words * _WORD_BITS - t_ang))
-    ).reshape(g, n_words, _WORD_BITS)
-    words = jnp.sum(
-        bits_pad << jnp.arange(_WORD_BITS, dtype=jnp.int32)[None, None, :],
-        axis=-1,
-    )  # (G, P)
+    # Pack the footprint RECTANGLE (interval x interval — m_th/m_ph are
+    # contiguous by construction) into one <=23-bit word: single-key sort
+    # and a one-column table at any tile geometry (see module docstring).
+    b_t, b_p, b_total = _rect_bits(n_tt, n_pt)
+    if b_total > 23:
+        raise ValueError(
+            f"rect word needs {b_total} bits (> 23): the f32 scaled-floor "
+            f"decode loses exactness at this tile grid ({n_tt}x{n_pt})"
+        )
+    idx_t = jnp.arange(n_tt, dtype=jnp.int32)
+    idx_p = jnp.arange(n_pt, dtype=jnp.int32)
+    th_lo_i = jnp.min(jnp.where(m_th, idx_t[None, :], n_tt), axis=1)
+    th_hi_i = jnp.max(jnp.where(m_th, idx_t[None, :], -1), axis=1)
+    ph_lo_i = jnp.min(jnp.where(m_ph, idx_p[None, :], n_pt), axis=1)
+    ph_hi_i = jnp.max(jnp.where(m_ph, idx_p[None, :], -1), axis=1)
+    valid_g = (th_hi_i >= th_lo_i) & (ph_hi_i >= ph_lo_i) & in_window
+    # Clamp before composing: empty-interval sentinels (n_tt / -1) would
+    # bleed into neighboring bit fields; the word is discarded via valid_g
+    # either way, but keep every lane's arithmetic in-range.
+    tl = jnp.clip(th_lo_i, 0, n_tt - 1)
+    th = jnp.clip(th_hi_i, 0, n_tt - 1)
+    pll = jnp.clip(ph_lo_i, 0, n_pt - 1)
+    phh = jnp.clip(ph_hi_i, 0, n_pt - 1)
+    word = (
+        ((((jnp.int32(1) << b_t) | tl) << b_t | th) << b_p | pll) << b_p
+    ) | phh
+    words = jnp.where(valid_g, word, 0)[:, None]  # (G, 1)
 
     # --- (pattern, d) sort; empty patterns (dead / out of window) last ------
-    empty = ~jnp.any(mask, axis=1)
-    key0 = jnp.where(empty, jnp.int32(1 << _WORD_BITS), words[:, 0])
-    dq_bits = 30 - (t_ang + 1)
-    if n_words == 1 and dq_bits >= 10:
-        # Single packed int32 key: (pattern | compact sentinel 1<<t_ang) in
-        # the high bits, quantized d in the low bits. d is ONLY a sort key
-        # here (it tightens per-block radial intervals; correctness never
-        # depends on its resolution — >= 10 bits over the d range is
-        # ~0.1 mm at scene scale, far below sigma). Halves the sort
-        # operands: ~2x cheaper at 100k rows.
-        dq_bits = min(dq_bits, 16)
-        d_lo = jnp.min(d)
-        d_span = jnp.maximum(jnp.max(d) - d_lo, 1e-6)
-        dq = jnp.clip(
-            ((d - d_lo) / d_span * ((1 << dq_bits) - 1)).astype(jnp.int32),
-            0, (1 << dq_bits) - 1,
-        )
-        key_c = jnp.where(empty, jnp.int32(1 << t_ang), words[:, 0])
-        packed = key_c * (1 << dq_bits) + dq
-        sorted_ops = jax.lax.sort(
-            (packed, jnp.arange(g, dtype=jnp.int32)), num_keys=1
-        )
-        perm = sorted_ops[-1]
-        key_s = sorted_ops[0] // (1 << dq_bits)
-        valid_s = key_s < (1 << t_ang)
-        words_s = jnp.where(valid_s, key_s, 0)[:, None]  # (G, 1)
-    else:
-        sort_ops = (
-            (key0,)
-            + tuple(words[:, p] for p in range(1, n_words))
-            + (d, jnp.arange(g, dtype=jnp.int32))
-        )
-        sorted_ops = jax.lax.sort(sort_ops, num_keys=n_words + 1)
-        perm = sorted_ops[-1]  # (G,) sorted row -> original row
-        # Validity comes from the sentinel in the sorted key itself (a gather
-        # of `empty[perm]` costs a row-bound 0.7 ms at 100k; this is free).
-        valid_s = sorted_ops[0] < (1 << _WORD_BITS)
-        words_s = jnp.stack(
-            [jnp.where(valid_s, sorted_ops[0], 0)]
-            + [sorted_ops[p] for p in range(1, n_words)],
-            axis=1,
-        )  # (G, P) with empty rows zeroed
+    # Single packed int32 key: (rect word | compact sentinel 1<<b_total) in
+    # the high bits, quantized d in the low bits. d is ONLY a sort key here
+    # (it tightens per-block radial intervals; correctness never depends on
+    # its resolution — >= 6 bits over the d range is still mm-scale at scene
+    # scale, below sigma). One sort operand: ~2x cheaper than key+d at 100k.
+    empty = ~valid_g
+    dq_bits = min(max(30 - (b_total + 1), 6), 16)
+    d_lo = jnp.min(d)
+    d_span = jnp.maximum(jnp.max(d) - d_lo, 1e-6)
+    dq = jnp.clip(
+        ((d - d_lo) / d_span * ((1 << dq_bits) - 1)).astype(jnp.int32),
+        0, (1 << dq_bits) - 1,
+    )
+    key_c = jnp.where(empty, jnp.int32(1) << b_total, words[:, 0])
+    packed = key_c * (1 << dq_bits) + dq
+    sorted_ops = jax.lax.sort(
+        (packed, jnp.arange(g, dtype=jnp.int32)), num_keys=1
+    )
+    perm = sorted_ops[-1]
+    key_s = sorted_ops[0] // (1 << dq_bits)
+    valid_s = key_s < (jnp.int32(1) << b_total)
+    words_s = jnp.where(valid_s, key_s, 0)[:, None]  # (G, 1)
 
     # --- block-aligned group layout -----------------------------------------
     iota = jnp.arange(g, dtype=jnp.int32)
@@ -358,9 +402,7 @@ def rsort_cull(
 
     # --- per-(block, tile) exact radial footprint unions --------------------
     kb = g_pad // spec.g_tile
-    memb = (
-        (words_pad[:, :, None] >> jnp.arange(_WORD_BITS, dtype=jnp.int32)) & 1
-    ).reshape(g_pad, n_words * _WORD_BITS)[:, :t_ang].astype(bool)
+    memb = decode_rect_members(words_pad[:, 0], n_tt, n_pt)  # (g_pad, T)
     # One row gather for both interval ends (two scalar gathers in lane-major
     # layout cost 0.7 ms EACH at 100k; a (G, 2) row gather is ~0.2 ms).
     ends = jnp.stack([d - radius, d + radius], axis=1)[full_perm]
@@ -563,26 +605,36 @@ def _gcat_bf16(gp):
     return jnp.concatenate([g_hi, g_lo, g_hi], axis=1)  # (K, 30) bf16
 
 
-def _member_bits(words, t):
-    """(K,) {0,1} float mask: bit `t` of each row's packed pattern.
+def _member_bits(words, t, n_tt, n_pt):
+    """(K,) {0,1} float mask: does the row's footprint RECTANGLE cover
+    angular tile `t`?
 
-    `words` is (K, P) float32 holding 12-bit integers; `t` is a traced
-    tile id. floor/mod arithmetic on floats — exact because word * 2^-b
-    keeps the word's own <= 12-bit mantissa (see _WORD_BITS).
-    """
-    n_words = words.shape[1]
-    tw = t // _WORD_BITS
-    tb = (t - tw * _WORD_BITS).astype(jnp.float32)
-    sel = words[:, 0]
-    for p in range(1, n_words):
-        sel = jnp.where(tw == p, words[:, p], sel)
-    q = jnp.floor(sel * jnp.exp2(-tb))
-    return q - 2.0 * jnp.floor(0.5 * q)
+    `words` is (K, 1) float32 holding packed rect words (<= 23 bits — every
+    scaled floor below is f32-exact, see `_rect_bits`); `t` is a traced
+    tile id; n_tt/n_pt are static. Word 0 (padding / dead rows) decodes
+    valid = 0."""
+    b_t, b_p, _ = _rect_bits(n_tt, n_pt)
+    v = words[:, 0]
+    q1 = jnp.floor(v * (2.0 ** -b_p))
+    ph_hi = v - q1 * (1 << b_p)
+    q2 = jnp.floor(q1 * (2.0 ** -b_p))
+    ph_lo = q1 - q2 * (1 << b_p)
+    q3 = jnp.floor(q2 * (2.0 ** -b_t))
+    th_hi = q2 - q3 * (1 << b_t)
+    valid = jnp.floor(q3 * (2.0 ** -b_t))
+    th_lo = q3 - valid * (1 << b_t)
+    tt_i = t // n_pt
+    tt = tt_i.astype(jnp.float32)
+    pt = (t - tt_i * n_pt).astype(jnp.float32)
+    inside = (
+        (tt >= th_lo) & (tt <= th_hi) & (pt >= ph_lo) & (pt <= ph_hi)
+    )
+    return jnp.where(inside, valid, 0.0)
 
 
 def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
-                   out_ref, *, t_ang, n_c, n_words, s_ang, gate_bins,
-                   p_bf16=False):
+                   out_ref, *, t_ang, n_c, n_words, n_tt, n_pt, s_ang,
+                   gate_bins, p_bf16=False):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -596,7 +648,7 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
         x0, y0, z0 = cx[tile, 0], cx[tile, 1], cx[tile, 2]
         gw = gw_ref[0]
         gcat = _gcat_bf16(_center_transform(gw[:, :FDIM], x0, y0, z0))
-        smask = _member_bits(gw[:, FDIM + n_c:], ft[i])
+        smask = _member_bits(gw[:, FDIM + n_c:], ft[i], n_tt, n_pt)
         bl, bh = fbl[i], fbh[i]
         # (C, K) masked channel weights: the K-contraction against p lands
         # the per-channel field directly in the (C, S) output orientation.
@@ -648,8 +700,8 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
 
 
 def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
-                   go_ref, dgw_ref, *, t_ang, n_c, n_words, s_ang,
-                   gate_bins, p_bf16=False):
+                   go_ref, dgw_ref, *, t_ang, n_c, n_words, n_tt, n_pt,
+                   s_ang, gate_bins, p_bf16=False):
     """Backward via the rank-C factorization of the cotangent chain.
 
     With y_c[f, a] = go[c, a] * x[f, a] (an (F, S) slab — F = 20x cheaper
@@ -683,7 +735,7 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
         x0, y0, z0 = cx[tile, 0], cx[tile, 1], cx[tile, 2]
         gw = gw_ref[0]
         gcat = _gcat_bf16(_center_transform(gw[:, :FDIM], x0, y0, z0))
-        smask = _member_bits(gw[:, FDIM + n_c:], bt[i])
+        smask = _member_bits(gw[:, FDIM + n_c:], bt[i], n_tt, n_pt)
         bl, bh = bbl[i], bbh[i]
         cf = n_c * FDIM
         s_gate = s_ang * gate_bins
@@ -802,7 +854,8 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
     out = pl.pallas_call(
         functools.partial(
             _rs_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
-            s_ang=s_ang, gate_bins=spec.gate_bins, p_bf16=spec.fwd_p_bf16,
+            n_tt=n_tt, n_pt=n_pt, s_ang=s_ang, gate_bins=spec.gate_bins,
+            p_bf16=spec.fwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
@@ -866,7 +919,8 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
     dtable = pl.pallas_call(
         functools.partial(
             _rs_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
-            s_ang=s_ang, gate_bins=spec.gate_bins, p_bf16=spec.bwd_p_bf16,
+            n_tt=n_tt, n_pt=n_pt, s_ang=s_ang, gate_bins=spec.gate_bins,
+            p_bf16=spec.bwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,

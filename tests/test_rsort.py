@@ -8,8 +8,8 @@ import pytest
 from nlos_gaussian_renderer_tpu.models.scene import GaussianScene, init_scene
 from nlos_gaussian_renderer_tpu.ops import math as gmath
 from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
-    _WORD_BITS,
     RSortSpec,
+    decode_rect_members,
     rsort_cull,
 )
 from nlos_gaussian_renderer_tpu.ops.render import (
@@ -64,9 +64,10 @@ class TestRSortCull:
         )
         assert not bool(tiles.overflowed)
         rel = np.asarray(gmath.cartesian_to_spherical(scene.means - CAM))
-        # Padded-slot membership bits, per original gaussian.
+        # Padded-slot membership (decoded rect words), per original gaussian.
         inv = np.asarray(tiles.inv_perm)
         words = np.asarray(tiles.words)
+        memb = np.asarray(decode_rect_members(words[:, 0], 2, 1))
         n_items = int(tiles.n_items[0])
         work = set(zip(np.asarray(tiles.fwd_t)[:n_items].tolist(),
                        np.asarray(tiles.fwd_j)[:n_items].tolist(),
@@ -94,8 +95,7 @@ class TestRSortCull:
             j = min(int((d - r[0]) / (SPEC.t_chunk * (r[1] - r[0]))), n_ch - 1)
             slot = int(inv[g])
             assert slot < words.shape[0], (g, t)  # not culled
-            bit = (words[slot, t // _WORD_BITS] >> (t % _WORD_BITS)) & 1
-            assert bit == 1, (g, t)
+            assert memb[slot, t], (g, t)
             blk = slot // SPEC.g_tile
             assert (t, j, blk) in work, (g, t, j, blk)
 
@@ -301,9 +301,9 @@ class TestDegenerateFootprints:
         words = np.asarray(tiles.words)
         assert slot < words.shape[0], "engulfing gaussian was culled"
         t_ang = int(np.asarray(tiles.counts).shape[0])
+        memb = np.asarray(decode_rect_members(words[:, 0], 2, 1))
         for t in range(t_ang):
-            bit = (words[slot, t // _WORD_BITS] >> (t % _WORD_BITS)) & 1
-            assert bit == 1, f"tile {t} dropped the engulfing gaussian"
+            assert memb[slot, t], f"tile {t} dropped the engulfing gaussian"
 
     def test_pole_wrapping_gaussian_covers_all_phi_tiles(self):
         """A Gaussian whose angular cone wraps a theta pole must cover every
@@ -346,26 +346,48 @@ class TestDegenerateFootprints:
 
 
 class TestMemberBits:
-    def test_all_patterns_all_positions_exact(self):
-        """The float bit extraction must be exact for EVERY (word, bit)
-        reachable at _WORD_BITS packing. The 24-bit version failed this:
-        (2^24-1) * 2^-15 lands on a round-to-nearest-even tie and flipped
-        bit 15 of dense words — silently dropping a tile's contributions."""
-        from nlos_gaussian_renderer_tpu.ops.fused_rsort import _member_bits
+    def test_all_rect_words_all_tiles_exact(self):
+        """The kernel's float rect-word decode must match the int decode for
+        EVERY representable word at the largest single-word grid this repo
+        uses (8x8 tiles, 13-bit words). The earlier bitmap scheme's 24-bit
+        variant failed the analogous property ((2^24-1) * 2^-15 lands on a
+        round-to-nearest-even tie and flipped a field) — keep the exhaustive
+        sweep so any encoding change re-proves exactness."""
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+            _member_bits,
+            _rect_bits,
+        )
 
-        rng = np.random.default_rng(0)
-        n_words = 2
-        n = 512
-        words_int = rng.integers(0, 1 << _WORD_BITS, (n, n_words))
-        # Include the adversarial dense words explicitly.
-        words_int[0] = (1 << _WORD_BITS) - 1
-        words_int[1] = (1 << _WORD_BITS) - 2
-        words_f = jnp.asarray(words_int, jnp.float32)
-        for t in range(n_words * _WORD_BITS):
-            got = np.asarray(_member_bits(words_f, jnp.int32(t)))
-            want = (words_int[:, t // _WORD_BITS] >> (t % _WORD_BITS)) & 1
-            np.testing.assert_array_equal(got, want.astype(np.float32),
-                                          err_msg=f"bit {t}")
+        n_tt = n_pt = 8
+        _, _, b_total = _rect_bits(n_tt, n_pt)
+        all_words = np.arange(1 << b_total, dtype=np.int64)
+        words_f = jnp.asarray(all_words, jnp.float32)[:, None]
+        want_all = np.asarray(
+            decode_rect_members(jnp.asarray(all_words, jnp.int32),
+                                n_tt, n_pt)
+        )
+        for t in range(n_tt * n_pt):
+            got = np.asarray(_member_bits(words_f, jnp.int32(t), n_tt, n_pt))
+            np.testing.assert_array_equal(
+                got, want_all[:, t].astype(np.float32), err_msg=f"tile {t}"
+            )
+
+    def test_rect_word_roundtrip_via_cull(self):
+        """Cull-produced words decode to exactly the footprint mask the cull
+        computed (valid rows), and padding rows decode to no membership."""
+        scene = make_scene(48, seed=7)
+        grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        tiles = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, SPEC,
+        )
+        words = np.asarray(tiles.words)
+        memb = np.asarray(decode_rect_members(words[:, 0], 2, 1))
+        # Padding rows (word 0) claim nothing.
+        assert not memb[words[:, 0] == 0].any()
+        # Every original gaussian's decoded membership matches counts.
+        counts_dec = memb.sum(axis=0)
+        np.testing.assert_array_equal(counts_dec, np.asarray(tiles.counts))
 
 
 class TestTakeRowsScatter:

@@ -106,15 +106,10 @@ def main():
     n_pt = -(-ns // spec.t_phi)
     s_ang = spec.t_theta * spec.t_phi
 
-    # Unpack membership bits: tile t of item -> bit t of words.
-    # (12-bit words, see fused_rsort._WORD_BITS usage.)
-    from nlos_gaussian_renderer_tpu.ops.fused_rsort import _WORD_BITS
+    # Decode the packed footprint-rectangle words into per-tile membership.
+    from nlos_gaussian_renderer_tpu.ops.fused_rsort import decode_rect_members
 
-    g_pad = words.shape[0]
-    memb = np.zeros((g_pad, n_tt * n_pt), bool)
-    for t in range(n_tt * n_pt):
-        w_i, b_i = divmod(t, _WORD_BITS)
-        memb[:, t] = (words[:, w_i].astype(np.int64) >> b_i) & 1
+    memb = np.asarray(decode_rect_members(words[:, 0], n_tt, n_pt))
 
     # Per padded row: original Gaussian's footprint geometry.
     valid_row = full_perm >= 0

@@ -375,24 +375,19 @@ def rsort_cull(
         precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     dest = jnp.where(valid_s, start_row + pos, g_pad)
-    # Padded layout via GATHER, not scatter: dest is monotone within each
-    # effective group (start_row + pos), so padded row rr inverts in closed
-    # form — its group from a searchsorted over the <=max_groups start rows,
-    # its sorted-order source from the group's first valid row (`left`).
-    # The (g_pad, 2) scatter this replaces measured 0.99 ms at 100k (HLO
-    # fusion.329); the searchsorted + one row gather is ~0.2 ms.
-    rr = jnp.arange(g_pad, dtype=jnp.int32)
-    gidx = jnp.clip(
-        jnp.searchsorted(start_g, rr, side="right") - 1,
-        0, spec.max_groups - 1,
+    # ONE fused scatter for (perm | rect word): scatters are row-bound,
+    # width is free. (A gather-based closed-form inverse — searchsorted over
+    # the group starts + one row gather — looked cheaper on paper but
+    # measured +4.6 ms end-to-end at 100k: the searchsorted chain serializes
+    # against the sort and breaks the surrounding fusion. Measured, kept.)
+    sc_vals = jnp.concatenate([perm[:, None], words_s], axis=1)
+    scat = (
+        jnp.zeros((g_pad, 2), jnp.int32)
+        .at[dest]
+        .set(sc_vals, mode="drop")
     )
-    off = rr - start_g[gidx]
-    valid_row = off < cnt_g[gidx]
-    src = jnp.clip(left[gidx].astype(jnp.int32) + off, 0, g - 1)
-    sc_vals = jnp.concatenate([perm[:, None], words_s], axis=1)[src]
-    sc_vals = jnp.where(valid_row[:, None], sc_vals, 0)
-    full_perm = sc_vals[:, 0]
-    words_pad = sc_vals[:, 1:]
+    full_perm = scat[:, 0]
+    words_pad = scat[:, 1:]
     # Culled rows map to the sentinel slot g_pad (a zero gradient row).
     inv_perm = (
         jnp.full((g,), g_pad, jnp.int32)

@@ -61,6 +61,14 @@ def main():
     ap.add_argument("--scan-chunk", type=int, default=30,
                     help="train steps per jitted dispatch (lax.scan); "
                          "1 = classic per-step dispatch")
+    ap.add_argument("--frozen-layout", action="store_true", default=False,
+                    help="chunk-frozen sorted block layout (rsort family): "
+                         "sort + layout scatters run once per scan chunk. "
+                         "Measured NEGATIVE at the bench scene (12.0 -> "
+                         "15.5 ms; see docs/DESIGN.md) - kept as an option "
+                         "for narrow-aperture geometries.")
+    ap.add_argument("--no-frozen-layout", dest="frozen_layout",
+                    action="store_false")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(analyze with tools/trace_report.py DIR --steps N)")
@@ -132,6 +140,10 @@ def main():
         backend=args.backend,
         tile_spec=TileSpec(t_theta=8, t_phi=16, t_r=64, k_max=args.k_max),
     )
+    # Frozen-layout reference: the scan grid spans +-0.4 m around the
+    # origin; slack = aperture radius + drift allowance (see RSortLayout).
+    ref_cam = np.zeros(3, np.float32)
+    layout_slack = float(np.sqrt(2) * 0.4 + 0.02)
     if args.backend in (
         "pallas_rsort", "pallas_analytic", "pallas_dsort"
     ) and args.auto_caps:
@@ -160,9 +172,16 @@ def main():
             [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
         ).astype(np.float32)
         tune = tune_dsort_spec if dsort else tune_rsort_spec
-        spec = tune(
-            scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base
-        )
+        if dsort:
+            spec = tune(
+                scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base
+            )
+        else:
+            spec = tune(
+                scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base,
+                ref_cam=ref_cam if args.frozen_layout else None,
+                slack=layout_slack,
+            )
         if dsort:
             log(f"auto-tuned dsort caps: d_max={spec.d_max} "
                 f"dup_rows={spec.dup_rows} w_max={spec.w_max}")
@@ -177,7 +196,11 @@ def main():
     if k > 1:
         from nlos_gaussian_renderer_tpu.train import make_scanned_train_step
 
-        step_k = make_scanned_train_step(settings, optim, tx, max_sh_degree=0)
+        step_k = make_scanned_train_step(
+            settings, optim, tx, max_sh_degree=0,
+            ref_cam=ref_cam if args.frozen_layout else None,
+            layout_slack=layout_slack,
+        )
     else:
         step = make_train_step(settings, optim, tx, max_sh_degree=0)
 

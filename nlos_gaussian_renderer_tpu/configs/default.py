@@ -95,6 +95,14 @@ class Config:
     # shape (t_theta, t_phi, t_r) and per-tile Gaussian capacity.
     cull_tile: Optional[Tuple[int, int, int]] = None
     cull_k_max: Optional[int] = None
+    # Chunk-frozen sorted block layout for the rsort-family backends: build
+    # the (pattern, d) layout ONCE per scan chunk from the scan-grid centroid
+    # and reuse it for every step in the chunk. Rendering stays exact, but
+    # OFF by default — measured NEGATIVE at the 100k bench scene (12.0 ->
+    # 15.5 ms: blocks grouped by the centroid camera's footprints are loose
+    # at the scan corners, and the extra kernel work outweighs the ~2.4 ms
+    # sort+scatter saving; see docs/DESIGN.md negative results).
+    frozen_layout: bool = False
 
     def capacity(self, optim: "OptimizationParams") -> int:
         if self.gaussian_capacity is not None:

@@ -248,31 +248,54 @@ def angular_footprints(
     return d, radius, m_th, m_ph, in_window
 
 
-def rsort_cull(
+class RSortLayout(NamedTuple):
+    """Frozen sorted block layout: the expensive half of the cull (packed-key
+    sort + padded-layout scatter + inverse permutation, ~2.4 ms/step at 100k)
+    split out so it can be computed ONCE per scan chunk and reused.
+
+    Correctness never depends on layout freshness: `rsort_cull` recomputes
+    the per-Gaussian rect words and per-block interval unions exactly for
+    the actual scan point every step, so a layout built from a REFERENCE
+    camera (or from slightly stale parameters) only loosens scheduling
+    tightness (more work items — capacity-tuned and overflow-flagged as
+    always). The one hazard — a Gaussian the layout culled entirely
+    becoming visible for the actual camera — is (a) prevented by building
+    the layout with `slack` >= the max distance from the reference camera
+    to any scan point plus a parameter-drift allowance, and (b) DETECTED:
+    `rsort_cull` raises the overflow flag when any step-valid Gaussian has
+    no layout slot, which re-tunes and rebuilds through the normal `fit()`
+    overflow machinery.
+    """
+
+    full_perm: jax.Array  # (G_pad,) int32 padded slot -> original row; G = zero sentinel
+    inv_perm: jax.Array  # (G,) int32 original row -> padded slot (G_pad = culled)
+    n_groups: jax.Array  # () int32 observed pattern groups (diagnostics/tuning)
+
+
+def _cull_geometry(
     means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
-    scaling_modifier: float = 1.0,
-) -> RSortTiles:
+    scaling_modifier: float = 1.0, slack: float = 0.0,
+):
+    """Per-Gaussian cull geometry for one camera: (d, radius, word, valid_g,
+    counts). `word` is the packed <=23-bit footprint-rectangle word (0 when
+    invalid); `slack` widens the radial in-window test by a distance margin
+    (used by `rsort_layout` to stay conservative across the scan aperture).
+    """
     ns = theta.shape[0]
-    num_r = r.shape[0]
     n_tt = pl.cdiv(ns, spec.t_theta)
     n_pt = pl.cdiv(ns, spec.t_phi)
-    n_ch = pl.cdiv(num_r, spec.t_chunk)
     t_ang = n_tt * n_pt
     g = means.shape[0]
-    if _padded_rows(g, spec) >= (1 << 24):
-        # start_row below rides a one-hot f32 matmul, exact only while every
-        # padded row start fits in f32's 24-bit mantissa. Populations that
-        # large need an int32 gather fallback — fail loudly, never corrupt
-        # the sorted layout silently.
-        raise ValueError(
-            f"rsort padded rows {_padded_rows(g, spec)} >= 2^24: the f32 "
-            "one-hot start_row gather would lose exactness; shrink "
-            "max_groups/g_tile or add an int32 gather path"
-        )
 
     d, radius, m_th, m_ph, in_window = angular_footprints(
         means, scales, alive, cam, theta, phi, r, spec, scaling_modifier
     )
+    if slack:
+        in_window = (
+            (d - radius - slack <= r[-1])
+            & (d + radius + slack >= r[0])
+            & (radius >= 0.0)
+        )
     mask = (
         m_th[:, :, None] & m_ph[:, None, :] & in_window[:, None, None]
     ).reshape(g, t_ang)
@@ -304,8 +327,48 @@ def rsort_cull(
     word = (
         ((((jnp.int32(1) << b_t) | tl) << b_t | th) << b_p | pll) << b_p
     ) | phh
-    words = jnp.where(valid_g, word, 0)[:, None]  # (G, 1)
+    word = jnp.where(valid_g, word, 0)  # (G,)
+    return d, radius, word, valid_g, counts
 
+
+def rsort_layout(
+    means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
+    scaling_modifier: float = 1.0, slack: float = 0.0,
+) -> RSortLayout:
+    """Build the frozen sorted block layout from a reference camera.
+
+    `slack` (distance units) must cover the largest distance from `cam` to
+    any scan point the layout will serve, plus an allowance for parameter
+    drift between layout refreshes (positions move ~um/step under Adam) —
+    it widens only the radial validity window, so over-estimating costs
+    nothing but a few extra layout rows.
+    """
+    ns = theta.shape[0]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    g = means.shape[0]
+    if _padded_rows(g, spec) >= (1 << 24):
+        # start_row below rides a one-hot f32 matmul, exact only while every
+        # padded row start fits in f32's 24-bit mantissa. Populations that
+        # large need an int32 gather fallback — fail loudly, never corrupt
+        # the sorted layout silently.
+        raise ValueError(
+            f"rsort padded rows {_padded_rows(g, spec)} >= 2^24: the f32 "
+            "one-hot start_row gather would lose exactness; shrink "
+            "max_groups/g_tile or add an int32 gather path"
+        )
+    d, _, word, valid_g, _ = _cull_geometry(
+        means, scales, alive, cam, theta, phi, r, spec, scaling_modifier,
+        slack,
+    )
+    return _layout_from_geometry(d, word, valid_g, g, n_tt, n_pt, spec)
+
+
+def _layout_from_geometry(
+    d, word, valid_g, g: int, n_tt: int, n_pt: int, spec: RSortSpec
+) -> RSortLayout:
+    _, _, b_total = _rect_bits(n_tt, n_pt)
+    words = word[:, None]
     # --- (pattern, d) sort; empty patterns (dead / out of window) last ------
     # Single packed int32 key: (rect word | compact sentinel 1<<b_total) in
     # the high bits, quantized d in the low bits. d is ONLY a sort key here
@@ -375,34 +438,72 @@ def rsort_cull(
         precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     dest = jnp.where(valid_s, start_row + pos, g_pad)
-    # ONE fused scatter for (perm | rect word): scatters are row-bound,
-    # width is free. (A gather-based closed-form inverse — searchsorted over
+    # ONE scatter for the permutation; padding/culled slots keep the zero-row
+    # sentinel `g`. (A gather-based closed-form inverse — searchsorted over
     # the group starts + one row gather — looked cheaper on paper but
     # measured +4.6 ms end-to-end at 100k: the searchsorted chain serializes
     # against the sort and breaks the surrounding fusion. Measured, kept.)
-    sc_vals = jnp.concatenate([perm[:, None], words_s], axis=1)
-    scat = (
-        jnp.zeros((g_pad, 2), jnp.int32)
-        .at[dest]
-        .set(sc_vals, mode="drop")
+    full_perm = (
+        jnp.full((g_pad,), g, jnp.int32).at[dest].set(perm, mode="drop")
     )
-    full_perm = scat[:, 0]
-    words_pad = scat[:, 1:]
     # Culled rows map to the sentinel slot g_pad (a zero gradient row).
     inv_perm = (
         jnp.full((g,), g_pad, jnp.int32)
         .at[perm]
         .set(jnp.where(valid_s, dest, g_pad))
     )
+    return RSortLayout(
+        full_perm=full_perm, inv_perm=inv_perm, n_groups=n_groups
+    )
+
+
+def rsort_cull(
+    means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
+    scaling_modifier: float = 1.0, layout: Optional[RSortLayout] = None,
+) -> RSortTiles:
+    """Cull + schedule for one scan point. With `layout` (a frozen
+    `rsort_layout`), the per-step work is gathers and dense reduces only —
+    no sort, no scatter; words and block interval unions are still exact
+    for THIS camera, so the render is exact regardless of layout staleness
+    (see `RSortLayout`)."""
+    ns = theta.shape[0]
+    num_r = r.shape[0]
+    n_tt = pl.cdiv(ns, spec.t_theta)
+    n_pt = pl.cdiv(ns, spec.t_phi)
+    n_ch = pl.cdiv(num_r, spec.t_chunk)
+    t_ang = n_tt * n_pt
+    g = means.shape[0]
+    g_pad = _padded_rows(g, spec)
+
+    d, radius, word, valid_g, counts = _cull_geometry(
+        means, scales, alive, cam, theta, phi, r, spec, scaling_modifier
+    )
+    if layout is None:
+        layout = _layout_from_geometry(d, word, valid_g, g, n_tt, n_pt, spec)
+    n_groups = layout.n_groups
+
+    # --- per-step padded-layout values: ONE (G+1, 3) row gather -------------
+    # Rect word + both radial interval ends ride one row gather through the
+    # layout permutation (two scalar gathers in lane-major layout cost
+    # 0.7 ms EACH at 100k; a row gather is ~0.2 ms). The word roundtrips
+    # f32 exactly (<= 23 bits). Sentinel row g is zero: padding slots decode
+    # valid=0 and never contribute.
+    vals = jnp.stack(
+        [d - radius, d + radius, word.astype(jnp.float32)], axis=1
+    )
+    vals_ext = jnp.concatenate([vals, jnp.zeros((1, 3), jnp.float32)])
+    per_row = vals_ext[layout.full_perm]  # (g_pad, 3)
+    words_pad = per_row[:, 2:3].astype(jnp.int32)
+    # A step-valid Gaussian with no layout slot would be silently dropped —
+    # flag it through the overflow channel (fit() re-tunes and rebuilds,
+    # which refreshes the layout). Never fires when the layout is fresh.
+    missed = jnp.any(valid_g & (layout.inv_perm >= g_pad))
 
     # --- per-(block, tile) exact radial footprint unions --------------------
     kb = g_pad // spec.g_tile
     memb = decode_rect_members(words_pad[:, 0], n_tt, n_pt)  # (g_pad, T)
-    # One row gather for both interval ends (two scalar gathers in lane-major
-    # layout cost 0.7 ms EACH at 100k; a (G, 2) row gather is ~0.2 ms).
-    ends = jnp.stack([d - radius, d + radius], axis=1)[full_perm]
-    lo = ends[:, 0].reshape(kb, spec.g_tile)
-    hi = ends[:, 1].reshape(kb, spec.g_tile)
+    lo = per_row[:, 0].reshape(kb, spec.g_tile)
+    hi = per_row[:, 1].reshape(kb, spec.g_tile)
     memb3 = memb.reshape(kb, spec.g_tile, t_ang)
     blk_lo = jnp.min(
         jnp.where(memb3, lo[:, :, None], jnp.inf), axis=1
@@ -509,8 +610,8 @@ def rsort_cull(
         j_grid[None, None, :] <= j_hi[:, :, None]
     )  # (KB, T, n_ch)
     return RSortTiles(
-        full_perm=full_perm,
-        inv_perm=inv_perm,
+        full_perm=layout.full_perm,
+        inv_perm=layout.inv_perm,
         words=words_pad,
         counts=counts,
         fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
@@ -521,7 +622,7 @@ def rsort_cull(
         tile_has_work=jnp.any(covers, axis=0),  # (T, n_ch)
         blk_has_work=jnp.any(nch_bt > 0, axis=1),  # (KB,)
         n_groups=n_groups,
-        overflowed=n_items > w,
+        overflowed=(n_items > w) | missed,
     )
 
 
@@ -956,11 +1057,19 @@ def pad_gather(table, full_perm, inv_perm):
     pattern 0), so the cotangent of row j is just `g[inv_perm[j]]` — culled
     rows read the sentinel zero row g_pad.
     """
-    return table[full_perm]
+    return _pad_gather_rows(table, full_perm)
+
+
+def _pad_gather_rows(table, full_perm):
+    # Padding / culled slots carry the sentinel index G -> appended zero row.
+    ext = jnp.concatenate(
+        [table, jnp.zeros((1,) + table.shape[1:], table.dtype)]
+    )
+    return ext[full_perm]
 
 
 def _pad_gather_fwd(table, full_perm, inv_perm):
-    return table[full_perm], inv_perm
+    return _pad_gather_rows(table, full_perm), inv_perm
 
 
 def _pad_gather_bwd(inv_perm, g):
@@ -983,6 +1092,8 @@ def tune_rsort_spec(
     base: RSortSpec = RSortSpec(),
     headroom: float = 1.25,
     scaling_modifier: float = 1.0,
+    ref_cam=None,
+    slack: float = 0.0,
 ) -> RSortSpec:
     """Fit the rsort capacities to a scene by measuring the cull once.
 
@@ -991,6 +1102,11 @@ def tune_rsort_spec(
     maxima with `headroom`. Static shapes stay static: call this once before
     building the train step (capacities change rarely — `fit` re-tunes after
     densification milestones and on any runtime overflow).
+
+    With `ref_cam`/`slack` (the frozen-layout training mode), every probe
+    cull runs against ONE layout built from the reference camera — so the
+    fitted w_max includes the scheduling slack a frozen layout costs at the
+    scan corners.
     """
     import numpy as np
 
@@ -1007,6 +1123,17 @@ def tune_rsort_spec(
         max_groups=probe_groups,
         w_max=max(kb_probe * t_ang * n_ch, 1),
     )
+    layout = None
+    if ref_cam is not None:
+        grid0 = shell_grid(
+            jnp.asarray(ref_cam, jnp.float32), box_points,
+            num_sampling_points, start, end, c, delta_t,
+        )
+        layout = rsort_layout(
+            scene.means, scene.scales, scene.alive,
+            jnp.asarray(ref_cam, jnp.float32), grid0.theta, grid0.phi,
+            grid0.r, probe, scaling_modifier, slack=slack,
+        )
     max_items = 1
     max_groups_obs = 1
     for cam in np.asarray(camera_positions).reshape(-1, 3):
@@ -1017,6 +1144,7 @@ def tune_rsort_spec(
         t = rsort_cull(
             scene.means, scene.scales, scene.alive, jnp.asarray(cam),
             grid.theta, grid.phi, grid.r, probe, scaling_modifier,
+            layout=layout,
         )
         max_items = max(max_items, int(t.n_items[0]))
         max_groups_obs = max(max_groups_obs, int(t.n_groups))

@@ -311,6 +311,7 @@ def field_response_pallas(
     active_sh_degree,
     settings: RenderSettings,
     gauss_axis: Optional[str] = None,
+    layout=None,
 ) -> jax.Array:
     """Block-sparse fused-kernel version of `field_response`.
 
@@ -352,6 +353,7 @@ def field_response_pallas(
         tiles = rsort_cull(
             scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
             grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
+            layout=layout,
         )
 
         if settings.backend == "pallas_analytic":
@@ -494,6 +496,7 @@ def render_transient(
     active_sh_degree,
     settings: RenderSettings,
     gauss_axis: Optional[str] = None,
+    layout=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render the (num_r, ns^2) transient field and its (num_r,) histogram.
 
@@ -523,7 +526,7 @@ def render_transient(
     ) and aggregate_ok:
         out, overflow = field_response_pallas(
             scene, grid, camera_pos, c, delta_t, active_sh_degree, settings,
-            gauss_axis=gauss_axis,
+            gauss_axis=gauss_axis, layout=layout,
         )
     elif settings.backend == "analytic" and aggregate_ok:
         from nlos_gaussian_renderer_tpu.ops.analytic import (

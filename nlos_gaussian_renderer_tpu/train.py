@@ -105,11 +105,13 @@ def batched_loss_fn(
     settings: RenderSettings,
     optim: OptimizationParams,
     gauss_axis: Optional[str] = None,
+    layout=None,
 ) -> Tuple[jax.Array, StepAux]:
     def one(cam, target):
         _, hist, overflow = render_transient(
             scene, cam, box_points, c, delta_t, volume_position,
             active_sh_degree, settings, gauss_axis=gauss_axis,
+            layout=layout,
         )
         loss, eq = mse_loss(hist, target)
         return loss, eq, hist, overflow
@@ -209,7 +211,7 @@ def _unjitted_train_step(
     )
 
     def train_step(state: TrainState, cams, targets, box_points, c, delta_t,
-                   volume_position):
+                   volume_position, layout=None):
         grad_fn = jax.value_and_grad(batched_loss_fn, has_aux=True)
         (_, aux), grads = grad_fn(
             state.scene,
@@ -222,6 +224,7 @@ def _unjitted_train_step(
             state.active_sh_degree,
             settings,
             optim,
+            layout=layout,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.scene)
         scene = optax.apply_updates(state.scene, updates)
@@ -259,6 +262,8 @@ def make_scanned_train_step(
     sh_anneal_interval: int = 1000,
     seed: int = 0,
     donate: bool = True,
+    ref_cam=None,
+    layout_slack: float = 0.0,
 ) -> Callable:
     """Build a jitted K-step train chunk: one dispatch runs K sequential
     steps via lax.scan.
@@ -266,6 +271,14 @@ def make_scanned_train_step(
     Per-step host dispatch (pytree flattening + enqueue through the remote
     tunnel) measures ~1.5-2 ms — comparable to the device step itself at
     100k Gaussians. Scanning K steps inside one call amortizes it away.
+
+    With `ref_cam` (rsort-family backends only), the chunk builds ONE frozen
+    sorted block layout (`fused_rsort.rsort_layout`) from the entering
+    parameters and the reference camera and reuses it for all K steps —
+    removing the per-step sort + layout scatters (~2.4 ms/step at 100k).
+    Rendering stays exact for every scan point (see `RSortLayout`);
+    `layout_slack` must cover the max distance from `ref_cam` to any scan
+    point (plus parameter drift over one chunk — mm at Adam scale).
 
     Signature: step_k(state, cams (K, B, 3), targets (K, B, num_r),
                       box_points, c, delta_t, volume_position)
@@ -275,13 +288,36 @@ def make_scanned_train_step(
     single = _unjitted_train_step(
         settings, optim, tx, max_sh_degree, sh_anneal_interval, seed
     )
+    use_layout = ref_cam is not None and settings.backend in (
+        "pallas_rsort", "pallas_analytic"
+    )
 
     def multi(state, cams_k, targets_k, box_points, c, delta_t,
               volume_position):
+        layout = None
+        if use_layout:
+            from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+                rsort_layout,
+            )
+            from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+            cam0 = jnp.asarray(ref_cam, jnp.float32)
+            grid0 = shell_grid(
+                cam0, box_points, settings.num_sampling_points,
+                settings.start, settings.end, c, delta_t,
+            )
+            sc = state.scene
+            layout = rsort_layout(
+                sc.means, sc.scales, sc.alive, cam0,
+                grid0.theta, grid0.phi, grid0.r, settings.rsort_spec,
+                settings.scaling_modifier, slack=layout_slack,
+            )
+
         def body(st, xs):
             cams, tgts = xs
             st2, aux = single(
-                st, cams, tgts, box_points, c, delta_t, volume_position
+                st, cams, tgts, box_points, c, delta_t, volume_position,
+                layout=layout,
             )
             return st2, aux
 
@@ -332,6 +368,18 @@ class FitResult:
     retunes: int = 0
 
 
+def layout_reference(data: NLOSData) -> Tuple[np.ndarray, float]:
+    """(ref_cam, slack) for the frozen-layout cull: the scan-grid centroid
+    and its aperture radius plus a parameter-drift allowance (positions move
+    ~um/step under Adam; 2 cm covers thousands of steps between layout
+    refreshes with orders of magnitude to spare — and staleness beyond the
+    slack is detected, not silent; see `fused_rsort.RSortLayout`)."""
+    grid = np.asarray(data.camera_grid_positions).T.reshape(-1, 3)
+    ref = grid.mean(axis=0).astype(np.float32)
+    slack = float(np.max(np.linalg.norm(grid - ref[None, :], axis=1))) + 0.02
+    return ref, slack
+
+
 def probe_scan_points(data: NLOSData) -> np.ndarray:
     """Representative scan points for capacity fitting: the four corners and
     the middle of the scan grid (corners concentrate the population into few
@@ -350,6 +398,8 @@ def fit_culling_capacity(
     c: float,
     delta_t: float,
     grow_only: bool = True,
+    ref_cam=None,
+    layout_slack: float = 0.0,
 ) -> Tuple[RenderSettings, bool]:
     """Fit the active backend's static culling capacities to the scene.
 
@@ -385,6 +435,7 @@ def fit_culling_capacity(
             scene, probe_cams, box_points, settings.num_sampling_points,
             settings.start, settings.end, c, delta_t, base=cur,
             scaling_modifier=settings.scaling_modifier,
+            ref_cam=ref_cam, slack=layout_slack,
         )
         if grow_only:
             new = cur._replace(
@@ -464,9 +515,12 @@ def prepare_training(
     # front (static shapes; re-fitted by `fit` when densification grows the
     # population or a step reports overflow).
     probes = probe_scan_points(data)
+    ref_cam, layout_slack = (
+        layout_reference(data) if cfg.frozen_layout else (None, 0.0)
+    )
     settings, _ = fit_culling_capacity(
         settings, scene, probes, box_points, data.c, data.deltaT,
-        grow_only=False,
+        grow_only=False, ref_cam=ref_cam, layout_slack=layout_slack,
     )
     if settings.backend in ("pallas", "pallas_rsort", "pallas_analytic",
                             "pallas_dsort"):
@@ -536,6 +590,9 @@ def fit(
     cam_grid = jnp.asarray(data.camera_grid_positions.T)  # (MN, 3)
     vol_pos = jnp.asarray(data.volume_position)
     probe_cams = probe_scan_points(data)
+    ref_cam, layout_slack = (
+        layout_reference(data) if cfg.frozen_layout else (None, 0.0)
+    )
     retunes = 0
     overflow_detected = False
 
@@ -547,7 +604,8 @@ def fit(
         failure mode, and this repo's own 40%-off-histogram war story)."""
         nonlocal settings, step_fn, step_chunk_fn, retunes
         new_settings, changed = fit_culling_capacity(
-            settings, state.scene, probe_cams, box_points, data.c, data.deltaT
+            settings, state.scene, probe_cams, box_points, data.c,
+            data.deltaT, ref_cam=ref_cam, layout_slack=layout_slack,
         )
         if changed:
             settings = new_settings
@@ -557,7 +615,7 @@ def fit(
             if step_chunk_fn is not None:
                 step_chunk_fn = make_scanned_train_step(
                     settings, optim, tx, cfg.sh_degree, seed=cfg.rng,
-                    donate=False,
+                    donate=False, ref_cam=ref_cam, layout_slack=layout_slack,
                 )
             retunes += 1
             if settings.backend in ("pallas_rsort", "pallas_analytic",
@@ -638,7 +696,8 @@ def fit(
 
     if chunk > 1:
         step_chunk_fn = make_scanned_train_step(
-            settings, optim, tx, cfg.sh_degree, seed=cfg.rng, donate=False
+            settings, optim, tx, cfg.sh_degree, seed=cfg.rng, donate=False,
+            ref_cam=ref_cam, layout_slack=layout_slack,
         )
         t0 = time.time()
         it = 0

@@ -125,7 +125,8 @@ class TestRSortCull:
                     and (words[s] != words[s - 1]).any()):
                 assert s % SPEC.g_tile == 0, s
         # d-ascending within each group (contiguous equal-pattern slot runs).
-        ds = d[full_perm]
+        # Padding/culled slots hold the sentinel index G (zero row).
+        ds = d[np.minimum(full_perm, len(d) - 1)]
         for i in range(1, len(slots)):
             a, b = slots[i - 1], slots[i]
             if b == a + 1 and (words[a] == words[b]).all():
@@ -220,6 +221,114 @@ class TestRSortParity:
             np.asarray(hr), np.asarray(ht), rtol=3e-3,
             atol=1e-3 * float(np.max(np.abs(ht))),
         )
+
+
+class TestFrozenLayout:
+    """Chunk-frozen sorted block layout (opt-in; measured slower at the
+    bench geometry but exactness must hold wherever it is enabled)."""
+
+    REF = jnp.array([0.12, 0.0, 0.08])  # displaced reference camera
+    SLACK = 0.35  # > |REF - CAM| with margin
+
+    def _layout(self, scene, spec, slack=None):
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import rsort_layout
+
+        grid0 = shell_grid(self.REF, BOX, 8, 60, 140, C, DT)
+        return rsort_layout(
+            scene.means, scene.scales, scene.alive, self.REF,
+            grid0.theta, grid0.phi, grid0.r, spec,
+            slack=self.SLACK if slack is None else slack,
+        )
+
+    def test_histogram_exact_vs_fresh_layout(self):
+        """A layout built from a DIFFERENT camera (within slack) must render
+        the actual camera's histogram identically: words and block interval
+        unions are recomputed exactly per step."""
+        scene = make_scene(48, seed=3)
+        spec = SPEC._replace(w_max=1024, max_groups=32)
+        layout = self._layout(scene, spec)
+        s = SETTINGS._replace(rsort_spec=spec)
+        grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        t_fresh = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, spec,
+        )
+        t_froz = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, spec, layout=layout,
+        )
+        assert not bool(t_froz.overflowed)
+        # Same per-Gaussian footprint words, independent of slot placement.
+        inv_fresh = np.asarray(t_fresh.inv_perm)
+        inv_froz = np.asarray(t_froz.inv_perm)
+        w_fresh = np.asarray(t_fresh.words)[:, 0]
+        w_froz = np.asarray(t_froz.words)[:, 0]
+        for g in range(48):
+            a, b = inv_fresh[g], inv_froz[g]
+            wa = w_fresh[a] if a < len(w_fresh) else 0
+            wb = w_froz[b] if b < len(w_froz) else 0
+            assert wa == wb, g
+        # And the layout-path histogram matches dense at the usual tolerance.
+        _, hf, _ = render_transient(
+            scene, CAM, BOX, C, DT, VOL_POS, 1, s, layout=layout
+        )
+        _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, DENSE)
+        np.testing.assert_allclose(hf, hd, rtol=3e-3, atol=1e-9)
+
+    def test_missed_gaussian_raises_overflow(self):
+        """A step-valid Gaussian with no slot in a stale layout must raise
+        the overflow flag (detection guarantee) — never drop silently."""
+        scene = make_scene(32, seed=5)
+        spec = SPEC._replace(w_max=1024, max_groups=32)
+        # Zero slack + a reference camera far outside the slack contract:
+        # some Gaussians valid for CAM fall outside the layout's window.
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import rsort_layout
+
+        far = jnp.array([0.0, 0.0, -0.9])
+        grid0 = shell_grid(far, BOX, 8, 60, 140, C, DT)
+        stale = rsort_layout(
+            scene.means, scene.scales, scene.alive, far,
+            grid0.theta, grid0.phi, grid0.r, spec, slack=0.0,
+        )
+        grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
+        t = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, spec, layout=stale,
+        )
+        fresh = rsort_cull(
+            scene.means, scene.scales, scene.alive, CAM,
+            grid.theta, grid.phi, grid.r, spec,
+        )
+        # Only meaningful if the stale layout actually misses someone.
+        missed = any(
+            int(stale.inv_perm[g]) >= stale.full_perm.shape[0]
+            and int(fresh.inv_perm[g]) < fresh.full_perm.shape[0]
+            for g in range(32)
+        )
+        assert missed, "fixture no longer exercises a stale layout"
+        assert bool(t.overflowed)
+
+    def test_gradient_parity_through_layout(self):
+        scene = make_scene(32, seed=4)
+        spec = SPEC._replace(w_max=1024, max_groups=32)
+        layout = self._layout(scene, spec)
+        s = SETTINGS._replace(rsort_spec=spec)
+        target = jnp.ones(s.num_bins) * 0.1
+
+        def loss(sc, st, lo):
+            _, h, _ = render_transient(
+                sc, CAM, BOX, C, DT, VOL_POS, 1, st, layout=lo
+            )
+            return mse_loss(h, target)[0]
+
+        gf = jax.grad(lambda sc: loss(sc, s, layout))(scene)
+        gd = jax.grad(lambda sc: loss(sc, DENSE, None))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities",
+                     "sh_dc"):
+            a, b = np.asarray(getattr(gf, name)), np.asarray(getattr(gd, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
+                                       err_msg=name)
 
 
 class TestCullingCapacityDiagnostic:

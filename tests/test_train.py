@@ -364,7 +364,8 @@ class TestOverflowPrevention:
         orig = train_mod.fit_culling_capacity
         calls = {"initial": 0}
 
-        def patched(settings, scene, probes, box, c, dt, grow_only=True):
+        def patched(settings, scene, probes, box, c, dt, grow_only=True,
+                    **kw):
             if not grow_only:
                 # The one-time initial sizing from prepare_training: hand
                 # back deliberately starved caps so the first render
@@ -373,7 +374,7 @@ class TestOverflowPrevention:
                 tiny = settings.rsort_spec._replace(w_max=4, max_groups=8)
                 return settings._replace(rsort_spec=tiny), True
             return orig(settings, scene, probes, box, c, dt,
-                        grow_only=grow_only)
+                        grow_only=grow_only, **kw)
 
         monkeypatch.setattr(train_mod, "fit_culling_capacity", patched)
         return calls

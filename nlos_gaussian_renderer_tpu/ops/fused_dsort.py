@@ -416,7 +416,10 @@ def dsort_gaussian_field(
         tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
         tiles.bwd_bl, tiles.bwd_bh,
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
-        spec, (n_tt, n_pt, n_ch, n_words), interpret,
+        # dup_gather's backward scatter-adds EVERY padded row: uninitialized
+        # dead-block gradient rows must be zeroed (see RSortSpec).
+        spec._replace(mask_dead_blocks=True),
+        (n_tt, n_pt, n_ch, n_words), interpret,
     )
     field = untile_field_t(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
     return field, tiles.overflowed

@@ -151,6 +151,14 @@ class RSortSpec(NamedTuple):
     # and the padded-table row capacity (0 = worst case G * d_max).
     d_max: int = 8
     dup_rows: int = 0
+    # Zero the backward kernel's never-visited (uninitialized) dtable blocks
+    # with a post-kernel `where` (~0.4 ms at 100k). The rsort/pad_gather
+    # backward never reads those rows — every step-valid Gaussian's block
+    # provably has >= 1 work item (its in-window radial interval bounds the
+    # block's union, see rsort_cull) and culled rows gather the OOB zero
+    # fill — so the flagship path skips the mask. The dsort backward
+    # (dup_gather scatter-add) reads EVERY row and must set this.
+    mask_dead_blocks: bool = False
 
 
 class RSortTiles(NamedTuple):
@@ -480,6 +488,14 @@ def rsort_cull(
     )
     if layout is None:
         layout = _layout_from_geometry(d, word, valid_g, g, n_tt, n_pt, spec)
+        inv_perm_step = layout.inv_perm
+    else:
+        # Frozen layouts can hold slots for rows the ACTUAL camera culls;
+        # such slots may sit in blocks with no work this step, whose
+        # backward rows are uninitialized (the dead-block mask is skipped —
+        # see RSortSpec.mask_dead_blocks). Route step-culled rows to the
+        # OOB zero fill so the pad_gather backward never reads them.
+        inv_perm_step = jnp.where(valid_g, layout.inv_perm, g_pad)
     n_groups = layout.n_groups
 
     # --- per-step padded-layout values: ONE (G+1, 3) row gather -------------
@@ -491,8 +507,11 @@ def rsort_cull(
     vals = jnp.stack(
         [d - radius, d + radius, word.astype(jnp.float32)], axis=1
     )
-    vals_ext = jnp.concatenate([vals, jnp.zeros((1, 3), jnp.float32)])
-    per_row = vals_ext[layout.full_perm]  # (g_pad, 3)
+    # Sentinel slots (index g) ride the gather's native OOB fill — appending
+    # a zero row instead costs a full-tensor pad/copy (~0.35 ms at 100k).
+    per_row = jnp.take(
+        vals, layout.full_perm, axis=0, mode="fill", fill_value=0.0
+    )  # (g_pad, 3)
     words_pad = per_row[:, 2:3].astype(jnp.int32)
     # A step-valid Gaussian with no layout slot would be silently dropped —
     # flag it through the overflow channel (fit() re-tunes and rebuilds,
@@ -611,7 +630,7 @@ def rsort_cull(
     )  # (KB, T, n_ch)
     return RSortTiles(
         full_perm=layout.full_perm,
-        inv_perm=layout.inv_perm,
+        inv_perm=inv_perm_step,
         words=words_pad,
         counts=counts,
         fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
@@ -1032,12 +1051,15 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
         interpret=interp,
     )(bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh, n_items, centers,
       xfeat, table, go)
-    # Global blocks with no work items are never visited: mask their
-    # (uninitialized) gradient rows to zero. Must be a `where`, not a
-    # multiply — uninitialized memory can be NaN, and NaN * 0 = NaN (the
-    # dsort scatter-add backward reads EVERY row, so a poisoned padding row
-    # would corrupt Gaussian 0's gradient).
-    dtable = jnp.where(blk_has_work[:, None, None], dtable, 0.0)
+    # Global blocks with no work items are never visited: their gradient
+    # rows are uninitialized memory. The pad_gather backward never reads
+    # them (step-valid rows always land in visited blocks; culled rows take
+    # the OOB zero fill), so the flagship path skips this mask. The dsort
+    # scatter-add backward reads EVERY row — a poisoned (NaN) padding row
+    # would corrupt Gaussian 0's gradient — and sets mask_dead_blocks.
+    # Must be a `where`, not a multiply: NaN * 0 = NaN.
+    if spec.mask_dead_blocks:
+        dtable = jnp.where(blk_has_work[:, None, None], dtable, 0.0)
     return (None, None, dtable) + (None,) * 15
 
 
@@ -1061,11 +1083,11 @@ def pad_gather(table, full_perm, inv_perm):
 
 
 def _pad_gather_rows(table, full_perm):
-    # Padding / culled slots carry the sentinel index G -> appended zero row.
-    ext = jnp.concatenate(
-        [table, jnp.zeros((1,) + table.shape[1:], table.dtype)]
-    )
-    return ext[full_perm]
+    # Padding / culled slots carry the sentinel index G — out of bounds, so
+    # the gather's native OOB fill yields the zero row. (Appending a zero
+    # sentinel row via concatenate costs a full-tensor pad/copy, ~0.35 ms
+    # at 100k; `mode="fill"` is a fused select on the gather output.)
+    return jnp.take(table, full_perm, axis=0, mode="fill", fill_value=0)
 
 
 def _pad_gather_fwd(table, full_perm, inv_perm):
@@ -1073,8 +1095,11 @@ def _pad_gather_fwd(table, full_perm, inv_perm):
 
 
 def _pad_gather_bwd(inv_perm, g):
-    g_ext = jnp.concatenate([g, jnp.zeros((1,) + g.shape[1:], g.dtype)])
-    return g_ext[inv_perm], None, None
+    # Culled rows carry the sentinel slot g_pad (OOB -> zero fill); overflow
+    # slots past g_pad fill zero too (previously clamped onto the sentinel).
+    return (
+        jnp.take(g, inv_perm, axis=0, mode="fill", fill_value=0), None, None
+    )
 
 
 pad_gather.defvjp(_pad_gather_fwd, _pad_gather_bwd)

@@ -372,7 +372,7 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         # (K, S) slabs keep rays on LANES; the go-side products ride MXU
         # contractions over C (dtau) and S (dw).
         def gate(g, carry):
-            dqa_c, dqb_c, dqc_c, dw = carry
+            dqa, dqb, dqc, dw = carry
             b0 = g * gate_bins
             pairs = [
                 _erf_and_gauss(
@@ -382,12 +382,13 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
             ]
             off = pl.multiple_of(b0 * s_ang, s_gate)
             go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, B*S)
-            # Per-bin moment slabs concatenated on LANES (bin-major, same
-            # layout as the output rows): the dtau matmul and the dw
-            # contraction then run ONCE per gate over the full B*S lane
-            # axis instead of once per bin — 2 MXU passes/gate vs 16
-            # (measured 21.6 -> see DESIGN.md; the per-bin dots were the
-            # remaining serial bottleneck after the forward's batching).
+            # Per-bin moment slabs; i0 additionally concatenated on LANES
+            # (bin-major, matching the output rows) so the dtau matmul and
+            # the dw contraction run ONCE per gate over the full B*S lane
+            # axis instead of once per bin — 2 MXU passes/gate vs 16. The
+            # dq* accumulators stay per-ray (K, S): carrying (K, B*S)
+            # accumulators instead measured 2 ms SLOWER at 100k (3 MB of
+            # loop-carried VMEM).
             i0s, i1s, i2s = [], [], []
             for b in range(gate_bins):
                 s0 = edges[j, b0 + b] - tc
@@ -405,8 +406,6 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
                 i1s.append(i1)
                 i2s.append(i2)
             i0c = jnp.concatenate(i0s, axis=1)  # (K, B*S)
-            i1c = jnp.concatenate(i1s, axis=1)
-            i2c = jnp.concatenate(i2s, axis=1)
             # dtau[k, s] = sum_c w[k, c] * go[c, s]: bf16x3 over the
             # zero-padded C contraction (see wcat above), whole gate at once.
             g_hi, g_lo = _split_hi_lo(go_g)
@@ -416,27 +415,20 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
             gocat = jnp.concatenate([g_hi, g_hi, g_lo, pad_s], axis=0)
             dtau = _bf16_dot(wcat, gocat, ((1,), (0,)))  # (K, B*S)
             dw = dw + _contract_s(i0c, go_g)  # (K, C)
-            # Accumulate lane-concatenated; the bin-group reduction to (K, S)
-            # and the -0.5 scale happen ONCE after the loop.
-            dqa_c = dqa_c + dtau * i2c
-            dqb_c = dqb_c + dtau * i1c
-            dqc_c = dqc_c + dtau * i0c
-            return dqa_c, dqb_c, dqc_c, dw
+            for b in range(gate_bins):
+                dt_b = dtau[:, b * s_ang:(b + 1) * s_ang]
+                dqa = dqa + dt_b * i2s[b]
+                dqb = dqb + dt_b * i1s[b]
+                dqc = dqc + dt_b * i0s[b]
+            return dqa, dqb, dqc, dw
 
-        zero = jnp.zeros(
-            (qa.shape[0], s_gate), jnp.float32
-        )
-        dqa_c, dqb_c, dqc_c, dw_kc = jax.lax.fori_loop(
+        zero = jnp.zeros_like(qa)
+        dqa, dqb, dqc, dw_kc = jax.lax.fori_loop(
             bl // gate_bins, bh // gate_bins + 1, gate,
             (zero, zero, zero,
              jnp.zeros((gw.shape[0], n_c), jnp.float32)),
         )
-        # Fold the B lane groups back onto the shared rays; dq* are the
-        # cotangents of the per-ray quadratics (-0.5 from d/dq of the
-        # moment recurrences, applied once here).
-        dqa = sum(dqa_c[:, b * s_ang:(b + 1) * s_ang] for b in range(gate_bins))
-        dqb = sum(dqb_c[:, b * s_ang:(b + 1) * s_ang] for b in range(gate_bins))
-        dqc = sum(dqc_c[:, b * s_ang:(b + 1) * s_ang] for b in range(gate_bins))
+        # -0.5 from d/dq of the moment recurrences, applied once here.
         dqa, dqb, dqc = -0.5 * dqa, -0.5 * dqb, -0.5 * dqc
         dw_acc = [dw_kc[:, c] for c in range(n_c)]
 

@@ -275,7 +275,8 @@ class RSortLayout(NamedTuple):
     overflow machinery.
     """
 
-    full_perm: jax.Array  # (G_pad,) int32 padded slot -> original row; G = zero sentinel
+    perm: jax.Array  # (G,) int32 sorted position -> original row
+    src: jax.Array  # (G_pad,) int32 padded slot -> SORTED position; G = padding sentinel
     inv_perm: jax.Array  # (G,) int32 original row -> padded slot (G_pad = culled)
     n_groups: jax.Array  # () int32 observed pattern groups (diagnostics/tuning)
 
@@ -446,22 +447,51 @@ def _layout_from_geometry(
         precision=jax.lax.Precision.HIGHEST,
     ).astype(jnp.int32)
     dest = jnp.where(valid_s, start_row + pos, g_pad)
-    # ONE scatter for the permutation; padding/culled slots keep the zero-row
-    # sentinel `g`. (A gather-based closed-form inverse — searchsorted over
-    # the group starts + one row gather — looked cheaper on paper but
-    # measured +4.6 ms end-to-end at 100k: the searchsorted chain serializes
-    # against the sort and breaks the surrounding fusion. Measured, kept.)
-    full_perm = (
-        jnp.full((g_pad,), g, jnp.int32).at[dest].set(perm, mode="drop")
+    # Closed-form padded-slot -> SORTED-row map (no scatter): every padded
+    # block belongs to exactly one effective group (groups are g_tile-
+    # padded), so per block b the group is the last k with start_g[k] <=
+    # b*g_tile, and the block's rows are the contiguous sorted run starting
+    # at left[k] + (b*g_tile - start_g[k]) with cnt_g[k] valid rows in the
+    # group. The per-block (start, left, cnt) selection rides ONE tiny
+    # (KB, max_groups) stair matmul against the group tables' first
+    # differences (telescoping: a prefix-of-ones row dotted with diffs
+    # yields the value at the last covered k). All quantities are integers
+    # with partial sums in [-G, G_pad] < 2^24: f32-exact in any summation
+    # order. (The earlier searchsorted-based closed form measured +4.6 ms —
+    # it serialized against the sort; the stair matmul does not. A
+    # full_perm scatter here measured 0.585 ms/step at 100k.)
+    kb = g_pad // spec.g_tile
+    blk_start = jnp.arange(kb, dtype=jnp.int32) * spec.g_tile
+    stair = (start_g[None, :] <= blk_start[:, None]).astype(jnp.float32)
+    gtab = jnp.stack([start_g, left, cnt_g], axis=1).astype(jnp.float32)
+    diffs = jnp.diff(gtab, axis=0, prepend=jnp.zeros((1, 3), jnp.float32))
+    sel = jax.lax.dot_general(
+        stair, diffs, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)  # (KB, 3) = (start_g, left, cnt_g) at each block
+    off_bt = (
+        blk_start[:, None]
+        + jnp.arange(spec.g_tile, dtype=jnp.int32)[None, :]
+        - sel[:, 0:1]
     )
+    src_raw = sel[:, 1:2] + off_bt
+    # Padding slots get the sentinel G: OOB in sorted-row space, so the
+    # composed gathers fill zeros / row index 0 (word 0 gates the kernel).
+    src = jnp.where(off_bt < sel[:, 2:3], src_raw, g).reshape(g_pad)
     # Culled rows map to the sentinel slot g_pad (a zero gradient row).
+    # `perm` is a true permutation: unique + in-bounds lets XLA skip
+    # scatter conflict handling.
     inv_perm = (
         jnp.full((g,), g_pad, jnp.int32)
         .at[perm]
-        .set(jnp.where(valid_s, dest, g_pad))
+        .set(
+            jnp.where(valid_s, dest, g_pad),
+            unique_indices=True,
+            mode="promise_in_bounds",
+        )
     )
     return RSortLayout(
-        full_perm=full_perm, inv_perm=inv_perm, n_groups=n_groups
+        perm=perm, src=src, inv_perm=inv_perm, n_groups=n_groups
     )
 
 
@@ -498,20 +528,30 @@ def rsort_cull(
         inv_perm_step = jnp.where(valid_g, layout.inv_perm, g_pad)
     n_groups = layout.n_groups
 
-    # --- per-step padded-layout values: ONE (G+1, 3) row gather -------------
-    # Rect word + both radial interval ends ride one row gather through the
-    # layout permutation (two scalar gathers in lane-major layout cost
-    # 0.7 ms EACH at 100k; a row gather is ~0.2 ms). The word roundtrips
-    # f32 exactly (<= 23 bits). Sentinel row g is zero: padding slots decode
-    # valid=0 and never contribute.
+    # --- per-step padded-layout values: TWO chained row gathers -------------
+    # Rect word, both radial interval ends, AND the composed original-row
+    # index (full_perm = perm o src, the iota column) ride row gathers
+    # through the sort permutation then the closed-form block map (scalar
+    # gathers in lane-major layout cost 0.7 ms EACH at 100k; row gathers
+    # are ~0.2 ms; the full_perm scatter these replace was 0.585 ms). The
+    # word and iota roundtrip f32 exactly (<= 23 / < 24 bits). Padding
+    # slots (src sentinel G) take the OOB zero fill: word 0 gates them out
+    # of the kernels, and full_perm 0 is harmless — the fetched row 0 data
+    # is finite and its smask is 0 in every kernel.
     vals = jnp.stack(
-        [d - radius, d + radius, word.astype(jnp.float32)], axis=1
+        [
+            d - radius,
+            d + radius,
+            word.astype(jnp.float32),
+            jnp.arange(g, dtype=jnp.float32),
+        ],
+        axis=1,
     )
-    # Sentinel slots (index g) ride the gather's native OOB fill — appending
-    # a zero row instead costs a full-tensor pad/copy (~0.35 ms at 100k).
+    vals_sorted = jnp.take(vals, layout.perm, axis=0)
     per_row = jnp.take(
-        vals, layout.full_perm, axis=0, mode="fill", fill_value=0.0
-    )  # (g_pad, 3)
+        vals_sorted, layout.src, axis=0, mode="fill", fill_value=0.0
+    )  # (g_pad, 4)
+    full_perm = per_row[:, 3].astype(jnp.int32)
     words_pad = per_row[:, 2:3].astype(jnp.int32)
     # A step-valid Gaussian with no layout slot would be silently dropped —
     # flag it through the overflow channel (fit() re-tunes and rebuilds,
@@ -629,7 +669,7 @@ def rsort_cull(
         j_grid[None, None, :] <= j_hi[:, :, None]
     )  # (KB, T, n_ch)
     return RSortTiles(
-        full_perm=layout.full_perm,
+        full_perm=full_perm,
         inv_perm=inv_perm_step,
         words=words_pad,
         counts=counts,
@@ -1083,10 +1123,12 @@ def pad_gather(table, full_perm, inv_perm):
 
 
 def _pad_gather_rows(table, full_perm):
-    # Padding / culled slots carry the sentinel index G — out of bounds, so
-    # the gather's native OOB fill yields the zero row. (Appending a zero
-    # sentinel row via concatenate costs a full-tensor pad/copy, ~0.35 ms
-    # at 100k; `mode="fill"` is a fused select on the gather output.)
+    # OOB slots (>= G, e.g. a dsort sentinel) take the native zero fill —
+    # appending a zero sentinel row via concatenate costs a full-tensor
+    # pad/copy, ~0.35 ms at 100k. Padding slots from the closed-form rsort
+    # layout carry index 0 instead: they fetch row 0's (finite) data, which
+    # every kernel gates out via the zero pattern word, and whose cotangent
+    # rows are never read back (see pad_gather).
     return jnp.take(table, full_perm, axis=0, mode="fill", fill_value=0)
 
 

@@ -301,8 +301,8 @@ class TestFrozenLayout:
         )
         # Only meaningful if the stale layout actually misses someone.
         missed = any(
-            int(stale.inv_perm[g]) >= stale.full_perm.shape[0]
-            and int(fresh.inv_perm[g]) < fresh.full_perm.shape[0]
+            int(stale.inv_perm[g]) >= stale.src.shape[0]
+            and int(fresh.inv_perm[g]) < stale.src.shape[0]
             for g in range(32)
         )
         assert missed, "fixture no longer exercises a stale layout"

@@ -58,9 +58,10 @@ def main():
                     action="store_false")
     ap.add_argument("--fwd-bf16", action="store_true",
                     help="bf16 MXU forward channel contraction")
-    ap.add_argument("--scan-chunk", type=int, default=30,
+    ap.add_argument("--scan-chunk", type=int, default=60,
                     help="train steps per jitted dispatch (lax.scan); "
-                         "1 = classic per-step dispatch")
+                         "1 = classic per-step dispatch. 60 amortizes the "
+                         "~0.4 ms/step residual host gap measured at 30.")
     ap.add_argument("--frozen-layout", action="store_true", default=False,
                     help="chunk-frozen sorted block layout (rsort family): "
                          "sort + layout scatters run once per scan chunk. "

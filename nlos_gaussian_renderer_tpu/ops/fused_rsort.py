@@ -748,15 +748,22 @@ def _bf16_dot(a, b, dims):
 
 
 def _gcat_bf16(gp):
-    """(K, 10) centered forms -> (K, 30) bf16x3 contraction operand.
+    """(K, 10) centered forms -> (K, 30) bf16x3 contraction operand,
+    PRE-SCALED by -0.5.
 
     Pairs with the transposed monomial slab `xcat = [x_hi; x_hi; x_lo]`
     ((30, S), samples on LANES): m = gcat @ xcat is the bf16x3-style
     Mahalanobis product in ONE MXU pass — the F=30 contraction pads to 128
     anyway, same cost as F=10. The dropped lo*lo term is ~2^-16 relative;
     f32 accumulation via preferred_element_type.
+
+    The -0.5 of exp(-0.5 q) is folded into the operand here (exact: a
+    power-of-two scale of the f32 forms before the hi/lo split), so both
+    kernels evaluate p = exp(min(m, 0)) with no per-element multiply on
+    the (K, S) slab. The backward's -0.5 factor on dg' is the d(exp)
+    chain term and stays where it is.
     """
-    g_hi, g_lo = _split_hi_lo(gp)
+    g_hi, g_lo = _split_hi_lo(-0.5 * gp)
     return jnp.concatenate([g_hi, g_lo, g_hi], axis=1)  # (K, 30) bf16
 
 
@@ -829,8 +836,8 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
                 ],
                 axis=0,
             )  # (30, S_g) bf16
-            m = _bf16_dot(gcat, xcat, ((1,), (0,)))  # (K, S_g)
-            p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+            m = _bf16_dot(gcat, xcat, ((1,), (0,)))  # (K, S_g), = -0.5 q
+            p = jnp.exp(jnp.minimum(m, 0.0))
             if p_bf16:
                 # One bf16 MXU pass replaces the per-channel VPU
                 # mul+reduce (~2e-4 relative on the field).
@@ -908,11 +915,11 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
             if p_bf16:
                 # Single-pass variant: p and y in plain bf16 (no splits).
                 # The ~2^-8 relative error lands on gradients only.
-                p16 = jnp.exp(-0.5 * jnp.maximum(m, 0.0)).astype(jnp.bfloat16)
+                p16 = jnp.exp(jnp.minimum(m, 0.0)).astype(jnp.bfloat16)
                 return z + _bf16_dot(
                     p16, ycat.astype(jnp.bfloat16), ((1,), (1,))
                 )
-            p = jnp.exp(-0.5 * jnp.maximum(m, 0.0))
+            p = jnp.exp(jnp.minimum(m, 0.0))
             p_hi, p_lo = _split_hi_lo(p)
             y_hi, y_lo = _split_hi_lo(ycat)
             # Z = p ycat^T, bf16x3 over the S (lane) contraction in two

@@ -116,7 +116,17 @@ def batched_loss_fn(
         loss, eq = mse_loss(hist, target)
         return loss, eq, hist, overflow
 
-    losses, eqs, hists, overflows = jax.vmap(one)(cams, targets)
+    if cams.shape[0] == 1:
+        # Unbatched fast path: vmap rewrites the cull's (G,) sort into a
+        # (1, G) dim-1 sort, which takes a far slower lane-oriented XLA
+        # lowering than the flat 1-D sort (hardware-measured; see
+        # docs/DESIGN.md). B=1 is the reference's training regime, so this
+        # path is the hot one.
+        losses, eqs, hists, overflows = jax.tree.map(
+            lambda x: x[None], one(cams[0], targets[0])
+        )
+    else:
+        losses, eqs, hists, overflows = jax.vmap(one)(cams, targets)
     loss = jnp.mean(losses)
 
     if optim.regularization:

@@ -120,6 +120,64 @@ class TestScannedStep:
         assert int(st2.step) == int(st1.step)
 
 
+class TestUnbatchedPath:
+    def test_b1_matches_vmap_row(self, tiny_data):
+        """batched_loss_fn's unbatched B=1 fast path (taken because vmap's
+        dim-1 sort lowering is slow on hardware) must agree with the vmap'd
+        path evaluated on the same scan point."""
+        from nlos_gaussian_renderer_tpu.train import (
+            batched_loss_fn,
+            prepare_training,
+        )
+
+        data = tiny_data
+        cfg = tiny_config(data, batch_size=1, renderer="pallas_rsort")
+        optim = OptimizationParams()
+        scene, tx, settings, box = prepare_training(cfg, optim, data)
+        vol = jnp.asarray(data.volume_position)
+        cam = jnp.asarray(data.camera_grid_positions.T[5])
+        tgt = jnp.asarray(
+            data.nlos_data.reshape(64, -1)[cfg.start:cfg.end, 5]
+            * cfg.gt_times
+        )
+
+        def run(cams, tgts):
+            return batched_loss_fn(
+                scene, cams, tgts, box, data.c, data.deltaT, vol,
+                jnp.asarray(cfg.sh_degree), settings, optim,
+            )
+
+        loss1, aux1 = jax.jit(run)(cam[None], tgt[None])
+        # B=2 with duplicated rows exercises the vmap branch; its per-row
+        # values must match the unbatched trace.
+        loss2, aux2 = jax.jit(run)(
+            jnp.stack([cam, cam]), jnp.stack([tgt, tgt])
+        )
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(aux1.pred_hist[0]), np.asarray(aux2.pred_hist[0]),
+            rtol=2e-5, atol=1e-9,
+        )
+        assert aux1.pred_hist.shape[0] == 1
+
+        grads1 = jax.jit(
+            jax.grad(lambda s, c_, t_: batched_loss_fn(
+                s, c_, t_, box, data.c, data.deltaT, vol,
+                jnp.asarray(cfg.sh_degree), settings, optim,
+            )[0])
+        )(scene, cam[None], tgt[None])
+        grads2 = jax.jit(
+            jax.grad(lambda s, c_, t_: batched_loss_fn(
+                s, c_, t_, box, data.c, data.deltaT, vol,
+                jnp.asarray(cfg.sh_degree), settings, optim,
+            )[0])
+        )(scene, jnp.stack([cam, cam]), jnp.stack([tgt, tgt]))
+        np.testing.assert_allclose(
+            np.asarray(grads1.means), np.asarray(grads2.means),
+            rtol=1e-4, atol=1e-7,
+        )
+
+
 class TestFit:
     def test_loss_decreases(self, tiny_data):
         cfg = tiny_config(tiny_data)

@@ -382,29 +382,16 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
             ]
             off = pl.multiple_of(b0 * s_ang, s_gate)
             go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, B*S)
-            # Per-bin moment slabs; i0 additionally concatenated on LANES
-            # (bin-major, matching the output rows) so the dtau matmul and
-            # the dw contraction run ONCE per gate over the full B*S lane
-            # axis instead of once per bin — 2 MXU passes/gate vs 16. The
-            # dq* accumulators stay per-ray (K, S): carrying (K, B*S)
-            # accumulators instead measured 2 ms SLOWER at 100k (3 MB of
-            # loop-carried VMEM).
-            i0s, i1s, i2s = [], [], []
-            for b in range(gate_bins):
-                s0 = edges[j, b0 + b] - tc
-                s1 = edges[j, b0 + b + 1] - tc
-                cdf_prev, ex_prev = pairs[b]
-                cdf_cur, ex_cur = pairs[b + 1]
-                e_prev = eh * ex_prev
-                e_cur = eh * ex_cur
-                i0 = pref * (cdf_cur - cdf_prev)  # (K, S) = tau
-                i1 = (e_prev - e_cur - half_qb * i0) * inv_qa
-                i2 = (
-                    i0 - half_qb * i1 - (s1 * e_cur - s0 * e_prev)
-                ) * inv_qa
-                i0s.append(i0)
-                i1s.append(i1)
-                i2s.append(i2)
+            # Per-bin tau slabs, concatenated on LANES (bin-major, matching
+            # the output rows) so the dtau matmul and the dw contraction run
+            # ONCE per gate over the full B*S lane axis instead of once per
+            # bin — 2 MXU passes/gate vs 16. The dq* accumulators stay
+            # per-ray (K, S): carrying (K, B*S) accumulators instead
+            # measured 2 ms SLOWER at 100k (3 MB of loop-carried VMEM).
+            i0s = [
+                pref * (pairs[b + 1][0] - pairs[b][0])
+                for b in range(gate_bins)
+            ]
             i0c = jnp.concatenate(i0s, axis=1)  # (K, B*S)
             # dtau[k, s] = sum_c w[k, c] * go[c, s]: bf16x3 over the
             # zero-padded C contraction (see wcat above), whole gate at once.
@@ -415,12 +402,36 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
             gocat = jnp.concatenate([g_hi, g_hi, g_lo, pad_s], axis=0)
             dtau = _bf16_dot(wcat, gocat, ((1,), (0,)))  # (K, B*S)
             dw = dw + _contract_s(i0c, go_g)  # (K, C)
+            # Summation-by-parts moment accumulation: the per-bin i1/i2
+            # moment slabs are never materialized. With dt_b the bin's dtau
+            # slice, the gate's contributions to the quadratic cotangents
+            # collapse into three cheap bin sums
+            #     A0 = sum_b dt_b i0_b,
+            #     Ae = sum_b dt_b (ex_b - ex_{b+1}),
+            #     As = sum_b dt_b (s1_b ex_{b+1} - s0_b ex_b),
+            # (s0/s1 are SMEM scalars, ex the erf polynomial's shared
+            # exponential; E_edge = eh * ex factors eh out of every bin)
+            # and the moment recurrences applied ONCE per gate:
+            #     sum_b dt_b i1_b = (eh Ae - half_qb A0) inv_qa,
+            #     sum_b dt_b i2_b = (A0 - half_qb S1 - eh As) inv_qa.
+            # Identical math, reassociated — ~2x less per-bin VPU work than
+            # materializing i1/i2 (hardware: 19.5 -> 19.3 ms at 100k; the
+            # kernel is EUP-bound on the erf/exp chain, so the elementwise
+            # cut is small on the wall clock).
+            zero = jnp.zeros_like(pref)
+            a0, ae, as_ = zero, zero, zero
             for b in range(gate_bins):
+                s0 = edges[j, b0 + b] - tc
+                s1 = edges[j, b0 + b + 1] - tc
+                ex_prev = pairs[b][1]
+                ex_cur = pairs[b + 1][1]
                 dt_b = dtau[:, b * s_ang:(b + 1) * s_ang]
-                dqa = dqa + dt_b * i2s[b]
-                dqb = dqb + dt_b * i1s[b]
-                dqc = dqc + dt_b * i0s[b]
-            return dqa, dqb, dqc, dw
+                a0 = a0 + dt_b * i0s[b]
+                ae = ae + dt_b * (ex_prev - ex_cur)
+                as_ = as_ + dt_b * (s1 * ex_cur - s0 * ex_prev)
+            s1_sum = (eh * ae - half_qb * a0) * inv_qa
+            s2_sum = (a0 - half_qb * s1_sum - eh * as_) * inv_qa
+            return dqa + s2_sum, dqb + s1_sum, dqc + a0, dw
 
         zero = jnp.zeros_like(qa)
         dqa, dqb, dqc, dw_kc = jax.lax.fori_loop(

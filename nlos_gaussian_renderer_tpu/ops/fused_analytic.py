@@ -64,6 +64,7 @@ from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
     _bf16_dot,
     _center_transform,
     _center_transform_t,
+    _gate_ladder,
     _member_bits,
     _split_hi_lo,
     _tile_id_map,
@@ -290,12 +291,17 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
         # bottleneck (each erf waited on the previous bin's). The per-bin
         # taus concatenate on LANES into one (K, s_gate) slab whose single
         # HIGHEST-precision MXU pass against wm deposits the whole gate.
+        # Gates ride the fused_rsort._gate_ladder schedule (bl-anchored
+        # when the lane layout allows, gate-aligned otherwise).
         j = fj[i]
         bl, bh = fbl[i], fbh[i]
         s_gate = s_ang * gate_bins
+        n_gates, locate = _gate_ladder(
+            bl, bh, gate_bins=gate_bins, s_ang=s_ang, t_chunk=t_chunk
+        )
 
         def gate(g, carry):
-            b0 = g * gate_bins
+            b0, off, lmask = locate(g)
             cdfs = [
                 _erf(sqrt_half_qa * ((edges[j, b0 + e] - tc) + shift))
                 for e in range(gate_bins + 1)
@@ -304,7 +310,8 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
                 [pref * (cdfs[b + 1] - cdfs[b]) for b in range(gate_bins)],
                 axis=1,
             )  # (K, s_gate)
-            off = pl.multiple_of(b0 * s_ang, s_gate)
+            if lmask is not None:
+                taus = taus * lmask
             out_ref[0, :, pl.ds(off, s_gate)] += jax.lax.dot_general(
                 wm, taus, dimension_numbers=(((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
@@ -312,9 +319,7 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
             )
             return carry
 
-        jax.lax.fori_loop(
-            bl // gate_bins, bh // gate_bins + 1, gate, jnp.int32(0)
-        )
+        jax.lax.fori_loop(0, n_gates, gate, jnp.int32(0))
 
 
 def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
@@ -361,6 +366,10 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         wcat = jnp.concatenate([w_hi, w_lo, w_hi, pad_c], axis=1)  # (K, cpad)
         bl, bh = bbl[i], bbh[i]
         s_gate = s_ang * gate_bins
+        # fused_rsort._gate_ladder schedule (same as the forward).
+        n_gates, locate = _gate_ladder(
+            bl, bh, gate_bins=gate_bins, s_ang=s_ang, t_chunk=t_chunk
+        )
 
         # Gate-chunk march over the block's active radial interval (same
         # schedule as the forward): every gate evaluates all gate_bins + 1
@@ -373,14 +382,13 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         # contractions over C (dtau) and S (dw).
         def gate(g, carry):
             dqa, dqb, dqc, dw = carry
-            b0 = g * gate_bins
+            b0, off, lmask = locate(g)
             pairs = [
                 _erf_and_gauss(
                     sqrt_half_qa * ((edges[j, b0 + e] - tc) + shift)
                 )
                 for e in range(gate_bins + 1)
             ]
-            off = pl.multiple_of(b0 * s_ang, s_gate)
             go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, B*S)
             # Per-bin tau slabs, concatenated on LANES (bin-major, matching
             # the output rows) so the dtau matmul and the dw contraction run
@@ -393,6 +401,8 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
                 for b in range(gate_bins)
             ]
             i0c = jnp.concatenate(i0s, axis=1)  # (K, B*S)
+            if lmask is not None:
+                i0c = i0c * lmask
             # dtau[k, s] = sum_c w[k, c] * go[c, s]: bf16x3 over the
             # zero-padded C contraction (see wcat above), whole gate at once.
             g_hi, g_lo = _split_hi_lo(go_g)
@@ -401,6 +411,8 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
             )
             gocat = jnp.concatenate([g_hi, g_hi, g_lo, pad_s], axis=0)
             dtau = _bf16_dot(wcat, gocat, ((1,), (0,)))  # (K, B*S)
+            if lmask is not None:
+                dtau = dtau * lmask
             dw = dw + _contract_s(i0c, go_g)  # (K, C)
             # Summation-by-parts moment accumulation: the per-bin i1/i2
             # moment slabs are never materialized. With dt_b the bin's dtau
@@ -435,7 +447,7 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
 
         zero = jnp.zeros_like(qa)
         dqa, dqb, dqc, dw_kc = jax.lax.fori_loop(
-            bl // gate_bins, bh // gate_bins + 1, gate,
+            0, n_gates, gate,
             (zero, zero, zero,
              jnp.zeros((gw.shape[0], n_c), jnp.float32)),
         )

@@ -794,9 +794,60 @@ def _member_bits(words, t, n_tt, n_pt):
     return jnp.where(inside, valid, 0.0)
 
 
+def _gate_ladder(bl, bh, *, gate_bins, s_ang, t_chunk):
+    """Radial gate schedule for the work-list kernels.
+
+    Returns ``(n_gates, locate)`` where ``locate(g) -> (start, off, lmask)``
+    gives gate ``g``'s first bin index, its lane offset into the chunk, and
+    an optional ``(1, s_ang*gate_bins)`` f32 mask (``None`` when every lane
+    in the window is valid).
+
+    When ``s_ang`` is lane-aligned (``% 128 == 0``) the ladder is
+    bl-ANCHORED (unaligned): gate g covers bins [bl + g*gate_bins, ...), so
+    the trip count is exactly ceil(span / gate_bins) instead of the aligned
+    ladder's bh//gb - bl//gb + 1 (mean ~2.9 -> 2 gates at the bench's
+    12-bin mean span — ~30% of all per-gate work). The final gate clamps
+    its start into the chunk and ``lmask`` zeroes the re-covered leading
+    bins so nothing double-deposits. Bins outside the item's range hold
+    samples beyond every member's cull sphere (the same cutoff guarantee
+    as chunk-level skipping).
+
+    When ``s_ang`` is NOT lane-aligned, dynamic bin starts are unaligned
+    lane offsets Mosaic cannot vector-load ("cannot statically prove that
+    index ... is a multiple of 128" on hardware — interpret mode does not
+    catch this), so the ladder falls back to gate_bins-ALIGNED starts with
+    no masking.
+    """
+    s_gate = s_ang * gate_bins
+    if s_ang % 128 == 0:
+        n_gates = (bh - bl + gate_bins) // gate_bins
+        t_lim = jnp.int32(max(t_chunk - gate_bins, 0))
+        lbin = jax.lax.broadcasted_iota(
+            jnp.int32, (1, s_gate), 1
+        ) // s_ang  # local bin index of each lane (0..gate_bins-1)
+
+        def locate(g):
+            start_u = bl + g * gate_bins
+            start = jnp.minimum(start_u, t_lim)
+            off = pl.multiple_of(start * s_ang, s_ang)
+            lmask = (lbin >= (start_u - start)).astype(jnp.float32)
+            return start, off, lmask
+
+        return n_gates, locate
+
+    n_gates = bh // gate_bins - bl // gate_bins + 1
+
+    def locate(g):
+        start = (bl // gate_bins + g) * gate_bins
+        off = pl.multiple_of(start * s_ang, s_gate)
+        return start, off, None
+
+    return n_gates, locate
+
+
 def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
                    out_ref, *, t_ang, n_c, n_words, n_tt, n_pt, s_ang,
-                   gate_bins, p_bf16=False):
+                   gate_bins, t_chunk, p_bf16=False):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -820,14 +871,14 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
         if p_bf16:
             wm = wm.astype(jnp.bfloat16)
         s_gate = s_ang * gate_bins
-        # Radial gating: loop ONLY the gate_bins-sized sub-chunks inside the
-        # item's exact bin range — sub-chunks outside hold samples beyond
-        # every member's cull sphere (same cutoff guarantee as chunk-level
-        # skipping). Dynamic trip count = active gates; skipped gates cost
-        # nothing and their output rows stay at the first-visit zeros.
+        # Radial gating over the _gate_ladder schedule (bl-anchored when
+        # the lane layout allows it, gate-aligned otherwise).
+        n_gates, locate = _gate_ladder(
+            bl, bh, gate_bins=gate_bins, s_ang=s_ang, t_chunk=t_chunk
+        )
 
         def gate(g, carry):
-            off = pl.multiple_of(g * s_gate, s_gate)
+            _, off, lmask = locate(g)
             xcat = jnp.concatenate(
                 [
                     x_ref[0, :FDIM, pl.ds(off, s_gate)],
@@ -838,6 +889,8 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
             )  # (30, S_g) bf16
             m = _bf16_dot(gcat, xcat, ((1,), (0,)))  # (K, S_g), = -0.5 q
             p = jnp.exp(jnp.minimum(m, 0.0))
+            if lmask is not None:
+                p = p * lmask
             if p_bf16:
                 # One bf16 MXU pass replaces the per-channel VPU
                 # mul+reduce (~2e-4 relative on the field).
@@ -856,14 +909,12 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
                 )
             return carry
 
-        jax.lax.fori_loop(
-            bl // gate_bins, bh // gate_bins + 1, gate, jnp.int32(0)
-        )
+        jax.lax.fori_loop(0, n_gates, gate, jnp.int32(0))
 
 
 def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
                    go_ref, dgw_ref, *, t_ang, n_c, n_words, n_tt, n_pt,
-                   s_ang, gate_bins, p_bf16=False):
+                   s_ang, gate_bins, t_chunk, p_bf16=False):
     """Backward via the rank-C factorization of the cotangent chain.
 
     With y_c[f, a] = go[c, a] * x[f, a] (an (F, S) slab — F = 20x cheaper
@@ -901,9 +952,13 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
         bl, bh = bbl[i], bbh[i]
         cf = n_c * FDIM
         s_gate = s_ang * gate_bins
+        # _gate_ladder schedule (see _rs_fwd_kernel).
+        n_gates, locate = _gate_ladder(
+            bl, bh, gate_bins=gate_bins, s_ang=s_ang, t_chunk=t_chunk
+        )
 
         def gate(g, z):
-            off = pl.multiple_of(g * s_gate, s_gate)
+            _, off, lmask = locate(g)
             x_hi = x_ref[0, :FDIM, pl.ds(off, s_gate)]
             x_lo = x_ref[0, FDIM:, pl.ds(off, s_gate)]
             xcat = jnp.concatenate([x_hi, x_hi, x_lo], axis=0)  # (30, S_g)
@@ -912,14 +967,16 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
             go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, S_g)
             ys = [go_g[c:c + 1, :] * xf32 for c in range(n_c)]
             ycat = jnp.concatenate(ys, axis=0)  # (C*F, S_g)
+            p = jnp.exp(jnp.minimum(m, 0.0))
+            if lmask is not None:
+                p = p * lmask
             if p_bf16:
                 # Single-pass variant: p and y in plain bf16 (no splits).
                 # The ~2^-8 relative error lands on gradients only.
-                p16 = jnp.exp(jnp.minimum(m, 0.0)).astype(jnp.bfloat16)
                 return z + _bf16_dot(
-                    p16, ycat.astype(jnp.bfloat16), ((1,), (1,))
+                    p.astype(jnp.bfloat16),
+                    ycat.astype(jnp.bfloat16), ((1,), (1,))
                 )
-            p = jnp.exp(jnp.minimum(m, 0.0))
             p_hi, p_lo = _split_hi_lo(p)
             y_hi, y_lo = _split_hi_lo(ycat)
             # Z = p ycat^T, bf16x3 over the S (lane) contraction in two
@@ -932,7 +989,7 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
             )
 
         z = jax.lax.fori_loop(
-            bl // gate_bins, bh // gate_bins + 1, gate,
+            0, n_gates, gate,
             jnp.zeros((gw.shape[0], cf), jnp.float32),
         )
         dgp = jnp.zeros((z.shape[0], FDIM), jnp.float32)
@@ -1017,7 +1074,7 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
         functools.partial(
             _rs_fwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
             n_tt=n_tt, n_pt=n_pt, s_ang=s_ang, gate_bins=spec.gate_bins,
-            p_bf16=spec.fwd_p_bf16,
+            t_chunk=spec.t_chunk, p_bf16=spec.fwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
@@ -1082,7 +1139,7 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
         functools.partial(
             _rs_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
             n_tt=n_tt, n_pt=n_pt, s_ang=s_ang, gate_bins=spec.gate_bins,
-            p_bf16=spec.bwd_p_bf16,
+            t_chunk=spec.t_chunk, p_bf16=spec.bwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,

@@ -144,3 +144,45 @@ class TestRayFeatures:
              w[1] * w[2]],
             rtol=1e-5,
         )
+
+
+class TestGateLadderLaneAligned:
+    """bl-anchored gate-ladder coverage for the analytic kernels (see
+    tests/test_rsort.py::TestGateLadderLaneAligned): s_ang=128 flips
+    `fused_rsort._gate_ladder` to unaligned anchored starts with lane
+    masks in both the erf forward and the moment backward."""
+
+    SPEC128 = RSortSpec(t_theta=8, t_phi=16, t_chunk=8, g_tile=32,
+                        w_max=512, max_groups=16)
+    S_K = RenderSettings(num_sampling_points=16, start=60, end=140,
+                         backend="pallas_analytic", rsort_spec=SPEC128)
+    S_A = S_K._replace(backend="analytic")
+
+    def test_histogram_parity(self):
+        scene = make_scene(48, seed=13)
+        _, hk, ov = render_transient(
+            scene, CAM, BOX, C, DT, VOL_POS, 1, self.S_K
+        )
+        _, ha, _ = render_transient(
+            scene, CAM, BOX, C, DT, VOL_POS, 1, self.S_A
+        )
+        assert not bool(ov)
+        np.testing.assert_allclose(hk, ha, rtol=3e-3, atol=1e-9)
+
+    def test_gradient_parity(self):
+        scene = make_scene(24, seed=14)
+        target = jnp.ones(self.S_K.num_bins) * 0.1
+
+        def loss(sc, st):
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        gk = jax.grad(lambda sc: loss(sc, self.S_K))(scene)
+        ga = jax.grad(lambda sc: loss(sc, self.S_A))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities",
+                     "sh_dc"):
+            a = np.asarray(getattr(gk, name))
+            b = np.asarray(getattr(ga, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
+                                       err_msg=name)

@@ -528,3 +528,59 @@ class TestTakeRowsScatter:
         # Row 0 receives exactly the two valid slot-0/slot-2 contributions.
         expected0 = np.asarray(g_out)[0, 2] + np.asarray(g_out)[1, 0]
         np.testing.assert_allclose(np.asarray(gu)[0], expected0, rtol=1e-6)
+
+
+class TestGateLadderLaneAligned:
+    """Lane-aligned specs (s_ang % 128 == 0) select the bl-anchored gate
+    ladder (`fused_rsort._gate_ladder`): unaligned gate starts, clamped
+    final gates, and lane masks that zero the re-covered leading bins.
+    The base SPEC (s_ang=32) only exercises the aligned fallback, so this
+    parity check is the interpret-mode coverage for the anchored schedule
+    (its Mosaic alignment legality still needs one real-TPU run)."""
+
+    SPEC128 = RSortSpec(t_theta=8, t_phi=16, t_chunk=8, g_tile=32,
+                        w_max=512, max_groups=16)
+    S_R = RenderSettings(num_sampling_points=16, start=60, end=140,
+                         backend="pallas_rsort", rsort_spec=SPEC128)
+    S_D = S_R._replace(backend="dense")
+
+    def test_histogram_parity(self):
+        """The anchored ladder covers EXACTLY [bl, bh] — unlike the aligned
+        fallback it no longer over-covers up to gate_bins-1 bins below bl,
+        so vs un-culled dense the residual is the true 3-sigma cull tail
+        (~1e-2 relative on the smallest leading bins). Widening the cull to
+        6 sigma removes the tail and must tighten parity by ~100x — that is
+        the check that the ladder itself drops nothing."""
+        scene = make_scene(48, seed=11)
+        _, hr, ov = render_transient(
+            scene, CAM, BOX, C, DT, VOL_POS, 1, self.S_R
+        )
+        _, hd, _ = render_transient(
+            scene, CAM, BOX, C, DT, VOL_POS, 1, self.S_D
+        )
+        assert not bool(ov)
+        np.testing.assert_allclose(hr, hd, rtol=2e-2, atol=1e-9)
+        wide = self.S_R._replace(
+            rsort_spec=self.SPEC128._replace(sigma_cull=6.0, w_max=2048)
+        )
+        _, hw, ov = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, wide)
+        assert not bool(ov)
+        np.testing.assert_allclose(hw, hd, rtol=5e-4, atol=1e-9)
+
+    def test_gradient_parity(self):
+        scene = make_scene(24, seed=12)
+        target = jnp.ones(self.S_R.num_bins) * 0.1
+
+        def loss(sc, st):
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        gr = jax.grad(lambda sc: loss(sc, self.S_R))(scene)
+        gd = jax.grad(lambda sc: loss(sc, self.S_D))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities",
+                     "sh_dc"):
+            a = np.asarray(getattr(gr, name))
+            b = np.asarray(getattr(gd, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
+                                       err_msg=name)

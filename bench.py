@@ -46,7 +46,13 @@ def main():
     ap.add_argument("--sigma-max", type=float, default=0.012)
     ap.add_argument("--t-theta", type=int, default=None)
     ap.add_argument("--t-phi", type=int, default=None)
-    ap.add_argument("--t-chunk", type=int, default=64)
+    ap.add_argument("--t-chunk", type=int, default=None,
+                    help="radial bins per chunk (default: 64; for "
+                         "pallas_analytic, one chunk covering all bins — "
+                         "the bl-anchored gate ladder skips out-of-span "
+                         "gates exactly, so bigger chunks only cut the "
+                         "per-(tile, block) item count: 18.8 -> 17.5 ms "
+                         "at 100k)")
     ap.add_argument("--g-tile", type=int, default=None)
     ap.add_argument("--gate-bins", type=int, default=8,
                     help="radial gate granularity (bins) for in-kernel "
@@ -158,6 +164,12 @@ def main():
         # dsort's whole point is FINE angular tiles (duplication makes
         # blocks tile-pure); default 4x4 rays unless overridden.
         base = RSortSpec(t_theta=4, t_phi=4) if dsort else RSortSpec()
+        if args.t_chunk is None:
+            if args.backend == "pallas_analytic":
+                nb = settings.num_bins
+                args.t_chunk = -(-nb // args.gate_bins) * args.gate_bins
+            else:
+                args.t_chunk = 64
         overrides = {
             k: v for k, v in (
                 ("t_theta", args.t_theta), ("t_phi", args.t_phi),

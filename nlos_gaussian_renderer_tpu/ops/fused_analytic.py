@@ -71,18 +71,26 @@ from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
     pad_gather,
 )
 
-# Ray-feature layout along the SUBLANE axis of the xfeat input (rays ride
-# LANES — the transposed-slab orientation shared with fused_rsort):
-#   [w0, w1, w2, w0^2, w1^2, w2^2, w0*w1, w0*w2, w1*w2] (9), then padding.
-XF_ANALYTIC = 16  # padded feature width (sublane-friendly)
+# Quadratic-feature slab layout (rays ride LANES — the transposed-slab
+# orientation shared with fused_rsort). Per (chunk, tile) the slab holds,
+# lane-blocked into three S_ang-wide groups,
+#   [:, 0S:1S] = [mon2(w) (6); 0 (4)]          — qa's feature side
+#   [:, 1S:2S] = [qb mixed/linear feats (9); 0] — qb's feature side
+#   [:, 2S:3S] = mon(u) (10)                    — qc's feature side
+# so ONE (K, 10) x (10, 3S) MXU pass yields all three ray quadratics, and
+# the backward's dgp is ONE (K, 3S) x (10, 3S)^T contraction (the zero rows
+# make the block sum exact). Built OUTSIDE the kernel: it depends only on
+# the tile, not the work item.
+XF_ANALYTIC = 16  # padded sublane width of the slab
 
 
-def analytic_ray_features(theta, phi, spec: RSortSpec):
-    """(T_ang, XF, S_ang) per-angular-tile unit directions + their mon2.
+def analytic_quad_slabs(theta, phi, aux4, spec: RSortSpec, n_ch: int):
+    """(n_tiles_total, XF, 3*S_ang) per-(chunk, tile) quadratic features.
 
     Sample order within a tile is (theta_local, phi_local) — consistent with
     `tile_coords`' (r, theta, phi) in-tile order once the kernel interleaves
-    the chunk's radial bins. Rays on LANES, features on sublanes.
+    the chunk's radial bins. aux4 is `analytic_tile_aux`'s (T, 4)
+    [delta(3), t_c]; u = delta + t_c * w is the centered ray origin.
     """
     ns = theta.shape[0]
     n_tt = pl.cdiv(ns, spec.t_theta)
@@ -100,16 +108,42 @@ def analytic_ray_features(theta, phi, spec: RSortSpec):
         ],
         axis=-1,
     )  # (ns_t, ns_p, 3)
+    t_ang = n_tt * n_pt
+    s_ang = spec.t_theta * spec.t_phi
     tiles = w.reshape(n_tt, spec.t_theta, n_pt, spec.t_phi, 3).transpose(
         0, 2, 1, 3, 4
-    ).reshape(n_tt * n_pt, spec.t_theta * spec.t_phi, 3)
-    w0, w1, w2 = tiles[..., 0], tiles[..., 1], tiles[..., 2]
-    feats = jnp.stack(
-        [w0, w1, w2, w0 * w0, w1 * w1, w2 * w2, w0 * w1, w0 * w2, w1 * w2],
+    ).reshape(t_ang, s_ang, 3)
+    w0, w1, w2 = tiles[..., 0], tiles[..., 1], tiles[..., 2]  # (T_ang, S)
+    zero = jnp.zeros_like(w0)
+    mon2_w = jnp.stack(
+        [w0 * w0, w1 * w1, w2 * w2, w0 * w1, w0 * w2, w1 * w2,
+         zero, zero, zero, zero],
         axis=1,
-    )  # (T_ang, 9, S_ang)
-    pad = XF_ANALYTIC - feats.shape[1]
-    return jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    )  # (T_ang, 10, S) — qa block, broadcast over chunks
+    d = aux4[:, :3].reshape(n_ch, t_ang, 3)
+    tc = aux4[:, 3].reshape(n_ch, t_ang)
+    u = d[:, :, None, :] + tc[:, :, None, None] * tiles[None]  # (n_ch,T,S,3)
+    u0, u1, u2 = u[..., 0], u[..., 1], u[..., 2]  # (n_ch, T_ang, S)
+    wb0, wb1, wb2 = w0[None], w1[None], w2[None]
+    zb = jnp.zeros_like(u0)
+    qb_feats = jnp.stack(
+        [2.0 * u0 * wb0, 2.0 * u1 * wb1, 2.0 * u2 * wb2,
+         u0 * wb1 + u1 * wb0, u0 * wb2 + u2 * wb0, u1 * wb2 + u2 * wb1,
+         wb0 + zb, wb1 + zb, wb2 + zb, zb],
+        axis=2,
+    )  # (n_ch, T_ang, 10, S)
+    mon_u = jnp.stack(
+        [u0 * u0, u1 * u1, u2 * u2, u0 * u1, u0 * u2, u1 * u2,
+         u0, u1, u2, jnp.ones_like(u0)],
+        axis=2,
+    )  # (n_ch, T_ang, 10, S)
+    f_all = jnp.concatenate(
+        [jnp.broadcast_to(mon2_w[None], mon_u.shape), qb_feats, mon_u],
+        axis=3,
+    )  # (n_ch, T_ang, 10, 3S)
+    f_all = f_all.reshape(n_ch * t_ang, 10, 3 * s_ang)
+    pad = XF_ANALYTIC - f_all.shape[1]
+    return jnp.pad(f_all, ((0, 0), (0, pad), (0, 0)))
 
 
 def analytic_tile_aux(points, cam, ns, num_r, spec: RSortSpec):
@@ -150,49 +184,26 @@ def chunk_edges(r, spec: RSortSpec):
     return edges[idx]
 
 
-def _quad_features(xf, aux_row):
-    """Transposed ray-feature slabs (rays on LANES) for the ray quadratics.
-
-    Returns (mon2_w (6, S), qb_feats (9, S), mon_u (10, S)): the dot-side
-    features of qa, qb, qc respectively (forward) and of the dqa/dqb/dqc
-    contractions (backward)."""
-    d0, d1, d2, tc = aux_row[0], aux_row[1], aux_row[2], aux_row[3]
-    w0, w1, w2 = xf[0, :], xf[1, :], xf[2, :]
-    mon2_w = xf[3:9, :]  # [w0^2, w1^2, w2^2, w0w1, w0w2, w1w2] rows
-    u0 = d0 + tc * w0
-    u1 = d1 + tc * w1
-    u2 = d2 + tc * w2
-    mixed = jnp.stack(
-        [
-            2.0 * u0 * w0,
-            2.0 * u1 * w1,
-            2.0 * u2 * w2,
-            u0 * w1 + u1 * w0,
-            u0 * w2 + u2 * w0,
-            u1 * w2 + u2 * w1,
-        ],
-        axis=0,
-    )  # (6, S)
-    qb_feats = jnp.concatenate([mixed, xf[:3, :]], axis=0)  # (9, S)
-    one = jnp.ones_like(u0)
-    mon_u = jnp.stack(
-        [u0 * u0, u1 * u1, u2 * u2, u0 * u1, u0 * u2, u1 * u2,
-         u0, u1, u2, one],
-        axis=0,
-    )  # (10, S)
-    return mon2_w, qb_feats, mon_u
-
-
-def _analytic_quadratics(feats, gp):
+def _analytic_quadratics(f_all, gp, s_ang):
     """(qa, qb, qc) each (K, S) from centered forms gp (K, 10) and the
-    `_quad_features` slabs."""
-    mon2_w, qb_feats, mon_u = feats
-    # qa = w^T A w: A6 . mon2(w) (packed off-diagonals already doubled);
-    # qb = 2 u^T A w + b'.w; qc = mon(u) . g' (all 10 components).
-    qa = _hilo_matmul(gp[:, :6], mon2_w)
-    qb = _hilo_matmul(gp[:, :9], qb_feats)
-    qc = _hilo_matmul(gp, mon_u)
-    return qa, qb, qc
+    prefetched `analytic_quad_slabs` block (XF, 3S), in ONE MXU pass.
+
+    qa = A6 . mon2(w) (packed off-diagonals already doubled);
+    qb = 2 u^T A w + b'.w; qc = mon(u) . g' — the slab's zero rows make
+    the lane-blocked single product exactly these three dots. gp is
+    zero-padded to the slab's XF sublane width (whose pad rows are zero)
+    instead of sublane-slicing the slab — Mosaic-friendlier."""
+    pad = f_all.shape[0] - gp.shape[1]
+    if pad:
+        gp = jnp.concatenate(
+            [gp, jnp.zeros((gp.shape[0], pad), gp.dtype)], axis=1
+        )
+    out = _hilo_matmul(gp, f_all)  # (K, 3S)
+    return (
+        out[:, :s_ang],
+        out[:, s_ang:2 * s_ang],
+        out[:, 2 * s_ang:3 * s_ang],
+    )
 
 
 def _hilo_matmul(g, x):
@@ -258,25 +269,26 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
     def _():
         tile = fj[i] * t_ang + ft[i]
         gw = gw_ref[0]
-        # Forms centered at x0 = cam - delta: x0 in world coords.
-        d0, d1, d2, tc = aux[tile, 0], aux[tile, 1], aux[tile, 2], aux[tile, 3]
-        # _center_transform centers at the point x0 given in WORLD coords;
-        # x0 = cam - delta.
+        # t_c re-parameterizes the bin edges; x0 = cam - delta (WORLD
+        # coords) centers the forms. The delta/u features themselves live
+        # in the prefetched quad slab.
+        tc = aux[tile, 3]
         cx0 = aux[tile, 4]
         cx1 = aux[tile, 5]
         cx2 = aux[tile, 6]
         gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
         smask = _member_bits(gw[:, FDIM + n_c:], ft[i], n_tt, n_pt)
-        xf = xf_ref[0]  # (XF, S_ang), rays on lanes
-        feats = _quad_features(xf, (d0, d1, d2, tc))
-        qa, qb, qc = _analytic_quadratics(feats, gp)  # (K, S_ang) each
+        f_all = xf_ref[0]  # (XF, 3*S_ang), rays on lanes; pad rows zero
+        qa, qb, qc = _analytic_quadratics(f_all, gp, s_ang)  # (K, S) each
         qa = jnp.maximum(qa, 1e-8)
-        inv2qa = 0.5 / qa
+        # One rsqrt replaces the div/sqrt/rsqrt EUP chain: 1/(2qa) = rq^2/2,
+        # sqrt(qa/2) = qa*rq/sqrt(2), 1/sqrt(qa) = rq (2-ulp relative, far
+        # under the erf polynomial's 1.5e-7).
+        rq = jax.lax.rsqrt(qa)
+        inv2qa = 0.5 * (rq * rq)
         phi = jnp.maximum(qc - qb * qb * inv2qa * 0.5, 0.0)
-        pref = (
-            0.5 * _SQRT_2PI * jax.lax.rsqrt(qa) * jnp.exp(-0.5 * phi)
-        )  # (K, S)
-        sqrt_half_qa = jnp.sqrt(0.5 * qa)
+        pref = (0.5 * _SQRT_2PI) * rq * jnp.exp(-0.5 * phi)  # (K, S)
+        sqrt_half_qa = 0.7071067811865476 * (qa * rq)
         shift = qb * inv2qa
         # (C, K) masked channel weights: the K contraction against the
         # gate's tau slab deposits straight into the (C, S) output rows.
@@ -286,10 +298,11 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
         # Gate-chunk march over the item's active bins [bl, bh] (the block's
         # exact radial interval; bins outside get zero tau from every member —
         # beyond the 3-sigma cull radius). Each gate evaluates ALL of its
-        # gate_bins+1 edge CDFs as INDEPENDENT unrolled 2D erf's — no
-        # loop-carried cdf; the per-bin serial erf chain was the old kernel's
-        # bottleneck (each erf waited on the previous bin's). The per-bin
-        # taus concatenate on LANES into one (K, s_gate) slab whose single
+        # gate_bins+1 edge CDFs as ONE lane-batched erf over the (K,
+        # (gb+1)*S) edge layout — a single EUP div/exp chain per gate
+        # instead of gb+1 unrolled medium ones (the ray quantities are
+        # replicated onto the edge lanes ONCE per item, below). The per-bin
+        # taus are then one sliced subtraction of the CDF slab, and one
         # HIGHEST-precision MXU pass against wm deposits the whole gate.
         # Gates ride the fused_rsort._gate_ladder schedule (bl-anchored
         # when the lane layout allows, gate-aligned otherwise).
@@ -299,17 +312,19 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
         n_gates, locate = _gate_ladder(
             bl, bh, gate_bins=gate_bins, s_ang=s_ang, t_chunk=t_chunk
         )
+        shq_e = jnp.concatenate([sqrt_half_qa] * (gate_bins + 1), axis=1)
+        shift_e = jnp.concatenate([shift] * (gate_bins + 1), axis=1)
+        pref_b = jnp.concatenate([pref] * gate_bins, axis=1)
 
         def gate(g, carry):
             b0, off, lmask = locate(g)
-            cdfs = [
-                _erf(sqrt_half_qa * ((edges[j, b0 + e] - tc) + shift))
-                for e in range(gate_bins + 1)
-            ]
-            taus = jnp.concatenate(
-                [pref * (cdfs[b + 1] - cdfs[b]) for b in range(gate_bins)],
+            e_row = jnp.concatenate(
+                [jnp.full((1, s_ang), edges[j, b0 + e] - tc, jnp.float32)
+                 for e in range(gate_bins + 1)],
                 axis=1,
-            )  # (K, s_gate)
+            )  # (1, (gb+1)*S) bin-edge lanes (s = t - t_c per edge)
+            cdf = _erf(shq_e * (e_row + shift_e))  # (K, (gb+1)*S)
+            taus = pref_b * (cdf[:, s_ang:] - cdf[:, :s_gate])  # (K, s_gate)
             if lmask is not None:
                 taus = taus * lmask
             out_ref[0, :, pl.ds(off, s_gate)] += jax.lax.dot_general(
@@ -324,7 +339,7 @@ def _an_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, aux, edges, xf_ref,
 
 def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
                    gw_ref, go_ref, dgw_ref, *, t_ang, n_c, n_words, n_tt, n_pt, t_chunk,
-                   s_ang, gate_bins):
+                   s_ang, gate_bins, bwd_p_bf16):
     i = pl.program_id(0)
     live = i < cnt[0]
 
@@ -336,20 +351,21 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
     def _():
         tile = bj[i] * t_ang + bt[i]
         gw = gw_ref[0]
-        d0, d1, d2, tc = aux[tile, 0], aux[tile, 1], aux[tile, 2], aux[tile, 3]
+        tc = aux[tile, 3]
         cx0, cx1, cx2 = aux[tile, 4], aux[tile, 5], aux[tile, 6]
         gp = _center_transform(gw[:, :FDIM], cx0, cx1, cx2)
         smask = _member_bits(gw[:, FDIM + n_c:], bt[i], n_tt, n_pt)
-        xf = xf_ref[0]  # (XF, S_ang), rays on lanes
-        feats = _quad_features(xf, (d0, d1, d2, tc))
-        qa, qb, qc = _analytic_quadratics(feats, gp)  # (K, S_ang) each
+        f_all = xf_ref[0]  # (XF, 3*S_ang), rays on lanes; pad rows zero
+        qa, qb, qc = _analytic_quadratics(f_all, gp, s_ang)  # (K, S) each
         qa = jnp.maximum(qa, 1e-8)
-        inv_qa = 1.0 / qa
+        # Single-rsqrt EUP chain (see the forward kernel).
+        rq = jax.lax.rsqrt(qa)
+        inv_qa = rq * rq
         inv2qa = 0.5 * inv_qa
         phi = jnp.maximum(qc - qb * qb * inv2qa * 0.5, 0.0)
         eh = jnp.exp(-0.5 * phi)
-        pref = 0.5 * _SQRT_2PI * jax.lax.rsqrt(qa) * eh
-        sqrt_half_qa = jnp.sqrt(0.5 * qa)
+        pref = (0.5 * _SQRT_2PI) * rq * eh
+        sqrt_half_qa = 0.7071067811865476 * (qa * rq)
         shift = qb * inv2qa
         j = bj[i]
         half_qb = 0.5 * qb
@@ -373,34 +389,49 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
 
         # Gate-chunk march over the block's active radial interval (same
         # schedule as the forward): every gate evaluates all gate_bins + 1
-        # edge (erf, exp) pairs as INDEPENDENT unrolled 2D ops — no
-        # loop-carried cdf chain, which was the serial bottleneck — then
-        # forms the exact moment integrals per bin (E(s) = exp(-phi/2) *
-        # exp(-z^2) reuses the erf polynomial's exponential; m/2 = z^2 +
+        # edge (erf, exp) pairs as ONE lane-batched op over the (K,
+        # (gb+1)*S) edge layout — a single EUP div/exp chain per gate —
+        # then forms the exact moment integrals per bin (E(s) = exp(-phi/2)
+        # * exp(-z^2) reuses the erf polynomial's exponential; m/2 = z^2 +
         # phi/2 exactly) and accumulates the quadratic cotangents. All
-        # (K, S) slabs keep rays on LANES; the go-side products ride MXU
+        # slabs keep rays on LANES; the go-side products ride MXU
         # contractions over C (dtau) and S (dw).
+        shq_e = jnp.concatenate([sqrt_half_qa] * (gate_bins + 1), axis=1)
+        shift_e = jnp.concatenate([shift] * (gate_bins + 1), axis=1)
+        pref_b = jnp.concatenate([pref] * gate_bins, axis=1)
+        halve_ok = gate_bins & (gate_bins - 1) == 0
+
+        def seg_sum(x):
+            """(K, gb*S) -> (K, S) bin-segment sum (tree-halved when gb is
+            a power of two; lane offsets stay S-aligned throughout)."""
+            w = x.shape[1]
+            if halve_ok:
+                while w > s_ang:
+                    w //= 2
+                    x = x[:, :w] + x[:, w:2 * w]
+                return x
+            acc = x[:, :s_ang]
+            for b in range(1, gate_bins):
+                acc = acc + x[:, b * s_ang:(b + 1) * s_ang]
+            return acc
+
         def gate(g, carry):
             dqa, dqb, dqc, dw = carry
             b0, off, lmask = locate(g)
-            pairs = [
-                _erf_and_gauss(
-                    sqrt_half_qa * ((edges[j, b0 + e] - tc) + shift)
-                )
-                for e in range(gate_bins + 1)
-            ]
+            e_row = jnp.concatenate(
+                [jnp.full((1, s_ang), edges[j, b0 + e] - tc, jnp.float32)
+                 for e in range(gate_bins + 1)],
+                axis=1,
+            )  # (1, (gb+1)*S) bin-edge lanes (s = t - t_c per edge)
+            erfc, exc = _erf_and_gauss(shq_e * (e_row + shift_e))
             go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, B*S)
-            # Per-bin tau slabs, concatenated on LANES (bin-major, matching
-            # the output rows) so the dtau matmul and the dw contraction run
-            # ONCE per gate over the full B*S lane axis instead of once per
-            # bin — 2 MXU passes/gate vs 16. The dq* accumulators stay
-            # per-ray (K, S): carrying (K, B*S) accumulators instead
-            # measured 2 ms SLOWER at 100k (3 MB of loop-carried VMEM).
-            i0s = [
-                pref * (pairs[b + 1][0] - pairs[b][0])
-                for b in range(gate_bins)
-            ]
-            i0c = jnp.concatenate(i0s, axis=1)  # (K, B*S)
+            # Per-bin tau slabs as one sliced CDF subtraction, bin-major on
+            # LANES (matching the output rows) so the dtau matmul and the
+            # dw contraction run ONCE per gate over the full B*S lane axis.
+            # The dq* accumulators stay per-ray (K, S): carrying (K, B*S)
+            # accumulators instead measured 2 ms SLOWER at 100k (3 MB of
+            # loop-carried VMEM).
+            i0c = pref_b * (erfc[:, s_ang:] - erfc[:, :s_gate])  # (K, B*S)
             if lmask is not None:
                 i0c = i0c * lmask
             # dtau[k, s] = sum_c w[k, c] * go[c, s]: bf16x3 over the
@@ -413,34 +444,29 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
             dtau = _bf16_dot(wcat, gocat, ((1,), (0,)))  # (K, B*S)
             if lmask is not None:
                 dtau = dtau * lmask
-            dw = dw + _contract_s(i0c, go_g)  # (K, C)
+            # dw[k, c] = sum_s i0[k, s] go[c, s]: exact hi/lo by default;
+            # single-pass bf16 (~4e-3 relative — the rsort backend's
+            # documented bwd_p_bf16 policy) under the flag.
+            if bwd_p_bf16:
+                dw = dw + _contract_s1(i0c, go_g)
+            else:
+                dw = dw + _contract_s(i0c, go_g)  # (K, C)
             # Summation-by-parts moment accumulation: the per-bin i1/i2
             # moment slabs are never materialized. With dt_b the bin's dtau
             # slice, the gate's contributions to the quadratic cotangents
-            # collapse into three cheap bin sums
+            # collapse into three bin sums
             #     A0 = sum_b dt_b i0_b,
             #     Ae = sum_b dt_b (ex_b - ex_{b+1}),
             #     As = sum_b dt_b (s1_b ex_{b+1} - s0_b ex_b),
-            # (s0/s1 are SMEM scalars, ex the erf polynomial's shared
-            # exponential; E_edge = eh * ex factors eh out of every bin)
-            # and the moment recurrences applied ONCE per gate:
+            # evaluated as three wide lane products + segment sums (the
+            # edge lanes e_row double as the s0/s1 values), and the moment
+            # recurrences applied ONCE per gate:
             #     sum_b dt_b i1_b = (eh Ae - half_qb A0) inv_qa,
             #     sum_b dt_b i2_b = (A0 - half_qb S1 - eh As) inv_qa.
-            # Identical math, reassociated — ~2x less per-bin VPU work than
-            # materializing i1/i2 (hardware: 19.5 -> 19.3 ms at 100k; the
-            # kernel is EUP-bound on the erf/exp chain, so the elementwise
-            # cut is small on the wall clock).
-            zero = jnp.zeros_like(pref)
-            a0, ae, as_ = zero, zero, zero
-            for b in range(gate_bins):
-                s0 = edges[j, b0 + b] - tc
-                s1 = edges[j, b0 + b + 1] - tc
-                ex_prev = pairs[b][1]
-                ex_cur = pairs[b + 1][1]
-                dt_b = dtau[:, b * s_ang:(b + 1) * s_ang]
-                a0 = a0 + dt_b * i0s[b]
-                ae = ae + dt_b * (ex_prev - ex_cur)
-                as_ = as_ + dt_b * (s1 * ex_cur - s0 * ex_prev)
+            sx = e_row * exc  # (K, (gb+1)*S): s_edge * exp(-z_edge^2)
+            a0 = seg_sum(dtau * i0c)
+            ae = seg_sum(dtau * (exc[:, :s_gate] - exc[:, s_ang:]))
+            as_ = seg_sum(dtau * (sx[:, s_ang:] - sx[:, :s_gate]))
             s1_sum = (eh * ae - half_qb * a0) * inv_qa
             s2_sum = (a0 - half_qb * s1_sum - eh * as_) * inv_qa
             return dqa + s2_sum, dqb + s1_sum, dqc + a0, dw
@@ -455,19 +481,15 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         dqa, dqb, dqc = -0.5 * dqa, -0.5 * dqb, -0.5 * dqc
         dw_acc = [dw_kc[:, c] for c in range(n_c)]
 
-        # Assemble dg' from the three contraction transposes (contract S,
-        # the lane axis). The `_quad_features` slabs are exactly the
-        # feature sides: qc hits all 10 via mon_u; qb hits [:9] via
-        # qb_feats; qa hits [:6] via mon2(w).
-        mon2_w, qb_feats, mon_u = feats
-        dgp = _contract_s(dqc, mon_u)
-        dgp_b = _contract_s(dqb, qb_feats)  # (K, 9)
-        dgp_a = _contract_s(dqa, mon2_w)  # (K, 6)
-        dgp = (
-            dgp
-            + jnp.pad(dgp_b, ((0, 0), (0, 1)))
-            + jnp.pad(dgp_a, ((0, 0), (0, 4)))
-        )
+        # Assemble dg' in ONE transposed contraction (contract 3S, the lane
+        # axis): the quad slab's lane blocks are exactly the feature sides
+        # of qa/qb/qc, and its zero rows make the blocked sum equal
+        # dqa.mon2(w)^T (pad 4) + dqb.qb_feats^T (pad 1) + dqc.mon(u)^T.
+        # Stays hi/lo-exact even under bwd_p_bf16: it is per-ITEM (not
+        # per-gate, so cheap) and feeds every geometry gradient — flagging
+        # it measured ~1.6e-2 on means grads vs the ~4e-3 band.
+        dq_cat = jnp.concatenate([dqa, dqb, dqc], axis=1)  # (K, 3S)
+        dgp = _contract_s(dq_cat, f_all)[:, :FDIM]  # (K, 10)
         dg = _center_transform_t(dgp, cx0, cx1, cx2)
         dg = dg * smask[:, None]
         dw_cols = jnp.stack(
@@ -502,6 +524,21 @@ def _contract_s(dq, feats):
     )
 
 
+def _contract_s1(dq, feats):
+    """Single-pass bf16 variant of `_contract_s` (~4e-3 relative): the
+    `bwd_p_bf16` policy applied to the analytic backward's S contractions.
+    Same >= 8-sublane padding of the rhs (Mosaic lowering constraint)."""
+    f = feats.shape[0]
+    pad = (-f) % 8
+    if pad:
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)], axis=0
+        )
+    return _bf16_dot(
+        dq.astype(jnp.bfloat16), feats.astype(jnp.bfloat16), ((1,), (1,))
+    )[:, :f]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21))
 def analytic_rsort_field(
     xfeat,  # (T_ang, XF, S_ang) ray features, rays on LANES
@@ -531,7 +568,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
                  interpret):
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
-    s_ang = xfeat.shape[2]
+    s_ang = xfeat.shape[2] // 3
     s = s_ang * spec.t_chunk
     c = table.shape[-1] - FDIM - n_words
     interp = _interpret_default() if interpret is None else interpret
@@ -542,7 +579,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
 
     def x_map(i, ft, fj, fb, first, fbl, fbh, cnt, aux_, edges_):
         k = ie(i, cnt)
-        return (ft[k], 0, 0)
+        return (tid(ft[k], fj[k]), 0, 0)
 
     def g_map(i, ft, fj, fb, first, fbl, fbh, cnt, aux_, edges_):
         k = ie(i, cnt)
@@ -563,7 +600,7 @@ def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
             num_scalar_prefetch=9,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, XF_ANALYTIC, s_ang), x_map),
+                pl.BlockSpec((1, XF_ANALYTIC, 3 * s_ang), x_map),
                 pl.BlockSpec((1, spec.g_tile, table.shape[-1]), g_map),
             ],
             out_specs=pl.BlockSpec((1, c, s), o_map),
@@ -598,7 +635,7 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
      bwd_bh, n_items, blk_has_work) = res
     n_tt, n_pt, n_ch, n_words = dims
     t_ang = n_tt * n_pt
-    s_ang = xfeat.shape[2]
+    s_ang = xfeat.shape[2] // 3
     s = s_ang * spec.t_chunk
     f_in = table.shape[-1]
     c = f_in - FDIM - n_words
@@ -610,7 +647,7 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
 
     def x_map(i, bt, bj, bb, first, bbl, bbh, cnt, aux_, edges_):
         k = ie(i, cnt)
-        return (bt[k], 0, 0)
+        return (tid(bt[k], bj[k]), 0, 0)
 
     def g_map(i, bt, bj, bb, first, bbl, bbh, cnt, aux_, edges_):
         k = ie(i, cnt)
@@ -625,12 +662,13 @@ def _an_vjp_bwd(spec, dims, interpret, res, go):
             _an_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
             n_tt=n_tt, n_pt=n_pt,
             t_chunk=spec.t_chunk, s_ang=s_ang, gate_bins=spec.gate_bins,
+            bwd_p_bf16=spec.bwd_p_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=9,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, XF_ANALYTIC, s_ang), x_map),
+                pl.BlockSpec((1, XF_ANALYTIC, 3 * s_ang), x_map),
                 pl.BlockSpec((1, spec.g_tile, f_in), g_map),
                 pl.BlockSpec((1, c, s), o_map),
             ],
@@ -671,10 +709,10 @@ def analytic_gaussian_field(
     n_pt = pl.cdiv(ns, spec.t_phi)
     n_ch = pl.cdiv(num_r, spec.t_chunk)
 
-    xfeat = analytic_ray_features(theta, phi, spec)
     aux4 = analytic_tile_aux(
         jax.lax.stop_gradient(grid.points), cam, ns, num_r, spec
     )  # (T, 4) [delta, tc]
+    xfeat = analytic_quad_slabs(theta, phi, aux4, spec, n_ch)
     cam_v = jnp.asarray(cam)
     x0 = cam_v[None, :] - aux4[:, :3]
     aux = jnp.concatenate(

@@ -95,6 +95,30 @@ class TestAnalyticKernelParity:
             np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
                                        err_msg=name)
 
+    def test_gradient_bf16_flag_within_band(self):
+        """`bwd_p_bf16` on the analytic backward (single-pass bf16 dw/dgp
+        contractions) stays inside the documented ~4e-3 relative band of
+        the exact hi/lo path."""
+        scene = make_scene(32, seed=9)
+        target = jnp.ones(SETTINGS.num_bins) * 0.1
+        s_bf = SETTINGS._replace(
+            rsort_spec=SPEC._replace(bwd_p_bf16=True)
+        )
+
+        def loss(sc, st):
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        g_exact = jax.grad(lambda sc: loss(sc, SETTINGS))(scene)
+        g_bf = jax.grad(lambda sc: loss(sc, s_bf))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities",
+                     "sh_dc"):
+            a = np.asarray(getattr(g_bf, name))
+            b = np.asarray(getattr(g_exact, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=8e-3,
+                                       err_msg=name)
+
     def test_occlusion_gradient_finite(self):
         scene = make_scene(24, seed=6)
         target = jnp.ones(SETTINGS.num_bins) * 0.1
@@ -116,34 +140,58 @@ class TestAnalyticKernelParity:
 
 
 class TestRayFeatures:
-    def test_tile_order_matches_grid(self):
+    def test_quad_slab_matches_grid(self):
+        """The per-(chunk, tile) quad slab's lane blocks hold mon2(w),
+        the qb features, and mon(u) for the raw grid's rays, in the
+        (theta_local, phi_local) in-tile order the kernels assume."""
         from nlos_gaussian_renderer_tpu.ops.fused_analytic import (
-            analytic_ray_features,
+            analytic_quad_slabs,
+            analytic_tile_aux,
         )
         from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
 
         grid = shell_grid(CAM, BOX, 8, 60, 140, C, DT)
-        xf = analytic_ray_features(grid.theta, grid.phi, SPEC)
+        ns, num_r = 8, grid.r.shape[0]
+        n_ch = -(-num_r // SPEC.t_chunk)
+        aux4 = np.asarray(analytic_tile_aux(grid.points, CAM, ns, num_r, SPEC))
+        xf = np.asarray(
+            analytic_quad_slabs(grid.theta, grid.phi, aux4, SPEC, n_ch)
+        )
         n_pt = 8 // SPEC.t_phi
+        t_ang = (8 // SPEC.t_theta) * n_pt
+        s_ang = SPEC.t_theta * SPEC.t_phi
         # Tile t = tt * n_pt + pt holds rays (tt*t_theta + i, pt*t_phi + j)
         # flattened (i, j); check one interior entry against the raw grid.
         tt, pt, i, j = 1, 0, 2, 3
+        ch = 1 if n_ch > 1 else 0
         th = float(grid.theta[tt * SPEC.t_theta + i])
         ph = float(grid.phi[pt * SPEC.t_phi + j])
-        expect = np.array(
+        w = np.array(
             [np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)]
         )
-        got = np.asarray(xf[tt * n_pt + pt, :3, i * SPEC.t_phi + j])
-        np.testing.assert_allclose(got, expect, rtol=1e-6)
-        # mon2 columns are consistent with the direction columns.
-        w = got
-        mon2 = np.asarray(xf[tt * n_pt + pt, 3:9, i * SPEC.t_phi + j])
+        tile = ch * t_ang + tt * n_pt + pt
+        lane = i * SPEC.t_phi + j
+        # qa block: mon2(w) in rows 0..5 of lanes [0, S).
         np.testing.assert_allclose(
-            mon2,
+            xf[tile, :6, lane],
             [w[0] ** 2, w[1] ** 2, w[2] ** 2, w[0] * w[1], w[0] * w[2],
              w[1] * w[2]],
-            rtol=1e-5,
+            rtol=1e-5, atol=1e-7,
         )
+        # qc block: mon(u) with u = delta + t_c * w in lanes [2S, 3S).
+        dlt, tc = aux4[tile, :3], aux4[tile, 3]
+        u = dlt + tc * w
+        np.testing.assert_allclose(
+            xf[tile, 6:10, 2 * s_ang + lane],
+            [u[0], u[1], u[2], 1.0],
+            rtol=1e-4, atol=1e-7,
+        )
+        # qb block row 6..8 holds the raw direction (linear-term features).
+        np.testing.assert_allclose(
+            xf[tile, 6:9, s_ang + lane], w, rtol=1e-5, atol=1e-7
+        )
+        # Pad rows are zero (the kernel contracts all XF rows).
+        assert np.all(xf[:, 10:, :] == 0.0)
 
 
 class TestGateLadderLaneAligned:

@@ -47,16 +47,24 @@ def main():
     ap.add_argument("--t-theta", type=int, default=None)
     ap.add_argument("--t-phi", type=int, default=None)
     ap.add_argument("--t-chunk", type=int, default=None,
-                    help="radial bins per chunk (default: 64; for "
-                         "pallas_analytic, one chunk covering all bins — "
-                         "the bl-anchored gate ladder skips out-of-span "
-                         "gates exactly, so bigger chunks only cut the "
-                         "per-(tile, block) item count: 18.8 -> 17.5 ms "
-                         "at 100k)")
+                    help="radial bins per chunk (default: ONE chunk "
+                         "covering all bins, for the rsort AND analytic "
+                         "backends — the bl-anchored gate ladder skips "
+                         "out-of-span gates exactly, so bigger chunks only "
+                         "cut the per-(tile, block) item count the fixed "
+                         "costs ride on: rsort 8.91 -> 8.46 ms, analytic "
+                         "18.8 -> 17.5 ms at 100k)")
     ap.add_argument("--g-tile", type=int, default=None)
     ap.add_argument("--gate-bins", type=int, default=8,
                     help="radial gate granularity (bins) for in-kernel "
                          "skipping; must divide t-chunk")
+    ap.add_argument("--w-max", type=int, default=None,
+                    help="skip cap tuning: use this work-list capacity "
+                         "directly (with --max-groups). The tuning probes "
+                         "cost ~5 min of compile through the remote tunnel; "
+                         "pass the values a previous run printed to iterate "
+                         "faster. Overflow is still flagged loudly.")
+    ap.add_argument("--max-groups", type=int, default=None)
     ap.add_argument("--bwd-bf16", action="store_true", default=True,
                     help="single-pass bf16 backward contraction "
                          "(default on; ~4e-3 relative on gradients)")
@@ -64,6 +72,9 @@ def main():
                     action="store_false")
     ap.add_argument("--fwd-bf16", action="store_true",
                     help="bf16 MXU forward channel contraction")
+    ap.add_argument("--bwd-exp-bf16", action="store_true",
+                    help="bf16-argument exp in the backward kernel "
+                         "(requires --bwd-bf16)")
     ap.add_argument("--scan-chunk", type=int, default=60,
                     help="train steps per jitted dispatch (lax.scan); "
                          "1 = classic per-step dispatch. 60 amortizes the "
@@ -165,11 +176,8 @@ def main():
         # blocks tile-pure); default 4x4 rays unless overridden.
         base = RSortSpec(t_theta=4, t_phi=4) if dsort else RSortSpec()
         if args.t_chunk is None:
-            if args.backend == "pallas_analytic":
-                nb = settings.num_bins
-                args.t_chunk = -(-nb // args.gate_bins) * args.gate_bins
-            else:
-                args.t_chunk = 64
+            nb = settings.num_bins
+            args.t_chunk = -(-nb // args.gate_bins) * args.gate_bins
         overrides = {
             k: v for k, v in (
                 ("t_theta", args.t_theta), ("t_phi", args.t_phi),
@@ -177,6 +185,7 @@ def main():
                 ("gate_bins", args.gate_bins),
                 ("bwd_p_bf16", args.bwd_bf16 or None),
                 ("fwd_p_bf16", args.fwd_bf16 or None),
+                ("bwd_exp_bf16", args.bwd_exp_bf16 or None),
             ) if v is not None
         }
         if overrides:
@@ -185,7 +194,11 @@ def main():
             [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
         ).astype(np.float32)
         tune = tune_dsort_spec if dsort else tune_rsort_spec
-        if dsort:
+        if args.w_max is not None and args.max_groups is not None:
+            spec = base._replace(w_max=args.w_max, max_groups=args.max_groups)
+            log(f"caps from flags (tuning skipped): max_groups="
+                f"{spec.max_groups} w_max={spec.w_max}")
+        elif dsort:
             spec = tune(
                 scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base
             )

@@ -45,6 +45,7 @@ from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
     angular_footprints,
     rsort_field,
     tile_points_centered,
+    xfeat_slab,
 )
 
 
@@ -404,10 +405,9 @@ def dsort_gaussian_field(
     kb = table.shape[0] // spec.g_tile
     table3 = table.reshape(kb, spec.g_tile, table.shape[-1])
 
-    x_hi = xfeat.astype(jnp.bfloat16)
-    x_lo = (xfeat - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    # Samples on LANES (the rsort kernels' transposed-slab contract).
-    xfeat_hl = jnp.concatenate([x_hi, x_lo], axis=-1).transpose(0, 2, 1)
+    # Pre-duplicated [hi; hi; lo] slab, samples on LANES (the rsort
+    # kernels' transposed-slab contract; see fused_rsort.xfeat_slab).
+    xfeat_hl = xfeat_slab(xfeat)
 
     out = rsort_field(
         xfeat_hl, centers, table3,

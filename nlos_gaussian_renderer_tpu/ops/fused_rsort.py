@@ -142,6 +142,13 @@ class RSortSpec(NamedTuple):
     # with single-pass bf16 operands (~4e-3 relative on gradients — inside
     # SGD noise) instead of hi/lo splits. Forward output is unaffected.
     bwd_p_bf16: bool = False
+    # Evaluate the backward kernel's exp on a bf16 argument (requires
+    # bwd_p_bf16; the result feeds the bf16 dot directly). Quantizing m to
+    # bf16 costs up to |m| * 2^-9 relative on p — large only deep in the
+    # tail where p itself is negligible; measured gradient error stays in
+    # the documented bwd_p_bf16 band. Forward exp always rides f32 (the
+    # histogram exactness gate).
+    bwd_exp_bf16: bool = False
     # Forward-kernel precision: True accumulates the per-channel field with
     # a single bf16 MXU pass over p instead of the per-channel VPU
     # mul+reduce. Per-term bf16 error (~4e-3) averages down over the K-sized
@@ -479,17 +486,14 @@ def _layout_from_geometry(
     # composed gathers fill zeros / row index 0 (word 0 gates the kernel).
     src = jnp.where(off_bt < sel[:, 2:3], src_raw, g).reshape(g_pad)
     # Culled rows map to the sentinel slot g_pad (a zero gradient row).
-    # `perm` is a true permutation: unique + in-bounds lets XLA skip
-    # scatter conflict handling.
-    inv_perm = (
-        jnp.full((g,), g_pad, jnp.int32)
-        .at[perm]
-        .set(
-            jnp.where(valid_s, dest, g_pad),
-            unique_indices=True,
-            mode="promise_in_bounds",
-        )
-    )
+    # Permutation inversion BY SORT, not scatter: sorting (perm, dest) by
+    # perm yields dest in original-row order. A (int32, int32) sort at 100k
+    # rows costs ~0.11 ms on this XLA build while the unique-indices
+    # scatter it replaces measured 0.586 ms/step (the single biggest
+    # non-kernel item in the r3 trace).
+    inv_perm = jax.lax.sort(
+        (perm, jnp.where(valid_s, dest, g_pad)), num_keys=1
+    )[1]
     return RSortLayout(
         perm=perm, src=src, inv_perm=inv_perm, n_groups=n_groups
     )
@@ -845,6 +849,19 @@ def _gate_ladder(bl, bh, *, gate_bins, s_ang, t_chunk):
     return n_gates, locate
 
 
+def xfeat_slab(xfeat):
+    """(T, S, FDIM) f32 monomials -> (T, 3*FDIM, S) bf16 [hi; hi; lo] slab.
+
+    The kernels' bf16x3 Mahalanobis dot contracts gcat = [g_hi, g_lo, g_hi]
+    against [x_hi; x_hi; x_lo]; storing the slab pre-duplicated removes the
+    per-gate 30-row concatenate from BOTH kernels (a VPU copy per gate) at
+    the cost of 1.5x the window DMA (640 KB -> 960 KB per backward item —
+    double-buffered behind compute). Samples ride LANES (see rsort_field)."""
+    x_hi = xfeat.astype(jnp.bfloat16)
+    x_lo = (xfeat - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([x_hi, x_hi, x_lo], axis=-1).transpose(0, 2, 1)
+
+
 def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
                    out_ref, *, t_ang, n_c, n_words, n_tt, n_pt, s_ang,
                    gate_bins, t_chunk, p_bf16=False):
@@ -879,14 +896,8 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
 
         def gate(g, carry):
             _, off, lmask = locate(g)
-            xcat = jnp.concatenate(
-                [
-                    x_ref[0, :FDIM, pl.ds(off, s_gate)],
-                    x_ref[0, :FDIM, pl.ds(off, s_gate)],
-                    x_ref[0, FDIM:, pl.ds(off, s_gate)],
-                ],
-                axis=0,
-            )  # (30, S_g) bf16
+            # Slab rows are pre-duplicated [hi; hi; lo] (see xfeat_slab).
+            xcat = x_ref[0, :, pl.ds(off, s_gate)]  # (30, S_g) bf16
             m = _bf16_dot(gcat, xcat, ((1,), (0,)))  # (K, S_g), = -0.5 q
             p = jnp.exp(jnp.minimum(m, 0.0))
             if lmask is not None:
@@ -914,7 +925,7 @@ def _rs_fwd_kernel(ft, fj, fb, first, fbl, fbh, cnt, cx, x_ref, gw_ref,
 
 def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
                    go_ref, dgw_ref, *, t_ang, n_c, n_words, n_tt, n_pt,
-                   s_ang, gate_bins, t_chunk, p_bf16=False):
+                   s_ang, gate_bins, t_chunk, p_bf16=False, exp_bf16=False):
     """Backward via the rank-C factorization of the cotangent chain.
 
     With y_c[f, a] = go[c, a] * x[f, a] (an (F, S) slab — F = 20x cheaper
@@ -959,14 +970,25 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
 
         def gate(g, z):
             _, off, lmask = locate(g)
-            x_hi = x_ref[0, :FDIM, pl.ds(off, s_gate)]
-            x_lo = x_ref[0, FDIM:, pl.ds(off, s_gate)]
-            xcat = jnp.concatenate([x_hi, x_hi, x_lo], axis=0)  # (30, S_g)
+            # Slab rows are pre-duplicated [hi; hi; lo] (see xfeat_slab).
+            xcat = x_ref[0, :, pl.ds(off, s_gate)]  # (30, S_g) bf16
             m = _bf16_dot(gcat, xcat, ((1,), (0,)))  # (K, S_g)
-            xf32 = x_hi.astype(jnp.float32) + x_lo.astype(jnp.float32)
+            xf32 = (
+                xcat[:FDIM].astype(jnp.float32)
+                + xcat[2 * FDIM:].astype(jnp.float32)
+            )
             go_g = go_ref[0, :, pl.ds(off, s_gate)]  # (C, S_g)
             ys = [go_g[c:c + 1, :] * xf32 for c in range(n_c)]
             ycat = jnp.concatenate(ys, axis=0)  # (C*F, S_g)
+            if p_bf16 and exp_bf16:
+                # bf16-argument exp: double VPU transcendental rate; the
+                # |m| * 2^-9 argument quantization is visible only in the
+                # tail where p is negligible (see RSortSpec.bwd_exp_bf16).
+                p = jnp.exp(jnp.minimum(m, 0.0).astype(jnp.bfloat16))
+                if lmask is not None:
+                    p = p * lmask.astype(jnp.bfloat16)
+                return z + _bf16_dot(p, ycat.astype(jnp.bfloat16),
+                                     ((1,), (1,)))
             p = jnp.exp(jnp.minimum(m, 0.0))
             if lmask is not None:
                 p = p * lmask
@@ -1006,7 +1028,7 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(18, 19, 20))
 def rsort_field(
-    xfeat,  # (n_tiles_total, 20, S) CENTERED monomials, bf16 [hi; lo], S on LANES
+    xfeat,  # (n_tiles_total, 30, S) CENTERED monomials, bf16 [hi; hi; lo], S on LANES
     centers,  # (n_tiles_total, 3) tile centers
     table,  # (KB, g_tile, 10 + C + P) global layout: forms|weights|patterns
     fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh,  # (W,) forward work list
@@ -1080,7 +1102,7 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
             num_scalar_prefetch=8,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, 2 * FDIM, s), x_map),
+                pl.BlockSpec((1, 3 * FDIM, s), x_map),
                 pl.BlockSpec((1, spec.g_tile, table.shape[-1]), g_map),
             ],
             out_specs=pl.BlockSpec((1, c, s), x_map),
@@ -1140,12 +1162,13 @@ def _rsort_vjp_bwd(spec, dims, interpret, res, go):
             _rs_bwd_kernel, t_ang=t_ang, n_c=c, n_words=n_words,
             n_tt=n_tt, n_pt=n_pt, s_ang=s_ang, gate_bins=spec.gate_bins,
             t_chunk=spec.t_chunk, p_bf16=spec.bwd_p_bf16,
+            exp_bf16=spec.bwd_exp_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=(spec.w_max,),
             in_specs=[
-                pl.BlockSpec((1, 2 * FDIM, s), x_map),
+                pl.BlockSpec((1, 3 * FDIM, s), x_map),
                 pl.BlockSpec((1, spec.g_tile, f_in), g_map),
                 pl.BlockSpec((1, c, s), x_map),
             ],
@@ -1343,12 +1366,11 @@ def rsort_gaussian_field(
     kb = table.shape[0] // spec.g_tile
     table3 = table.reshape(kb, spec.g_tile, table.shape[-1])
 
-    # Pre-split bf16 hi/lo monomials (same bytes as f32; saves the split on
-    # every kernel step), transposed so samples ride LANES in the kernel
-    # slabs (see rsort_field: 1/16 the window DMA of the row-major form).
-    x_hi = xfeat.astype(jnp.bfloat16)
-    x_lo = (xfeat - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    xfeat_hl = jnp.concatenate([x_hi, x_lo], axis=-1).transpose(0, 2, 1)
+    # Pre-split, pre-duplicated bf16 [hi; hi; lo] monomial slab (saves the
+    # split AND the 30-row concatenate on every kernel gate), transposed so
+    # samples ride LANES (see rsort_field: 1/16 the window DMA of the
+    # row-major form).
+    xfeat_hl = xfeat_slab(xfeat)
 
     out = rsort_field(
         xfeat_hl, centers, table3,

@@ -202,6 +202,33 @@ class TestRSortParity:
         _, h32, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
         np.testing.assert_array_equal(np.asarray(h16), np.asarray(h32))
 
+    def test_gradient_parity_bf16_exp_bwd(self):
+        """bwd_exp_bf16 (bf16-argument exp feeding the bf16 contraction)
+        stays inside the bwd_p_bf16 tolerance band: the |m| * 2^-9 argument
+        quantization is only large deep in the Gaussian tail where p itself
+        is negligible."""
+        scene = make_scene(32, seed=4)
+        target = jnp.ones(SETTINGS.num_bins) * 0.1
+        s16 = SETTINGS._replace(
+            rsort_spec=SPEC._replace(bwd_p_bf16=True, bwd_exp_bf16=True)
+        )
+
+        def loss(sc, st):
+            _, h, _ = render_transient(sc, CAM, BOX, C, DT, VOL_POS, 1, st)
+            return mse_loss(h, target)[0]
+
+        g16 = jax.grad(lambda sc: loss(sc, s16))(scene)
+        gd = jax.grad(lambda sc: loss(sc, DENSE))(scene)
+        for name in ("means", "log_scales", "quats", "logit_opacities", "sh_dc"):
+            a, b = np.asarray(getattr(g16, name)), np.asarray(getattr(gd, name))
+            scale = np.abs(b).max() + 1e-12
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-2,
+                                       err_msg=name)
+        # Forward histogram is bit-level unaffected by the backward flags.
+        _, h16, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s16)
+        _, h32, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, SETTINGS)
+        np.testing.assert_array_equal(np.asarray(h16), np.asarray(h32))
+
     def test_matches_pallas_tile_backend(self):
         from nlos_gaussian_renderer_tpu.ops.fused import TileSpec
 
@@ -543,6 +570,21 @@ class TestGateLadderLaneAligned:
     S_R = RenderSettings(num_sampling_points=16, start=60, end=140,
                          backend="pallas_rsort", rsort_spec=SPEC128)
     S_D = S_R._replace(backend="dense")
+
+    def test_single_chunk_histogram_parity(self):
+        """t_chunk = num_bins (ONE radial chunk — the headline bench
+        geometry since the 8.46 ms single-chunk default): the whole bin
+        axis rides one slab and every item's gates anchor inside it."""
+        scene = make_scene(48, seed=11)
+        s_one = self.S_R._replace(
+            rsort_spec=self.SPEC128._replace(t_chunk=80, sigma_cull=6.0,
+                                             w_max=2048)
+        )
+        _, h1, ov = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1, s_one)
+        _, hd, _ = render_transient(scene, CAM, BOX, C, DT, VOL_POS, 1,
+                                    self.S_D)
+        assert not bool(ov)
+        np.testing.assert_allclose(h1, hd, rtol=5e-4, atol=1e-9)
 
     def test_histogram_parity(self):
         """The anchored ladder covers EXACTLY [bl, bh] — unlike the aligned

@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--t-chunk", type=int, default=64)
     ap.add_argument("--gate-bins", type=int, default=8)
     ap.add_argument("--bwd-bf16", action="store_true", default=True)
+    ap.add_argument("--w-max", type=int, default=None,
+                    help="skip cap tuning (with --max-groups): ~5 min of "
+                         "probe compiles saved when iterating")
+    ap.add_argument("--max-groups", type=int, default=None)
     ap.add_argument("--match", nargs="*", default=None)
     ap.add_argument("--min-lines", type=int, default=1)
     ap.add_argument("--out", default=None,
@@ -94,9 +98,12 @@ def main():
     probe_cams = np.stack(
         [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
     ).astype(np.float32)
-    spec = tune_rsort_spec(
-        scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base
-    )
+    if args.w_max is not None and args.max_groups is not None:
+        spec = base._replace(w_max=args.w_max, max_groups=args.max_groups)
+    else:
+        spec = tune_rsort_spec(
+            scene, probe_cams, box, 32, 100, 300, c, delta_t, base=base
+        )
     settings = RenderSettings(
         num_sampling_points=32, start=100, end=300, backend=args.backend,
         tile_spec=TileSpec(t_theta=8, t_phi=16, t_r=64),

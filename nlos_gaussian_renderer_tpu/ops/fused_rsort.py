@@ -166,6 +166,13 @@ class RSortSpec(NamedTuple):
     # fill — so the flagship path skips the mask. The dsort backward
     # (dup_gather scatter-add) reads EVERY row and must set this.
     mask_dead_blocks: bool = False
+    # Build the flat work lists with the serial Pallas kernel
+    # (`_ws_build_kernel`) instead of the XLA prefix-sum/argsort chain. The
+    # XLA chain's ~15 tiny W-sized ops each land in scalar memory and cost
+    # ~0.1 ms of scalar-core time apiece (~1.2 ms/step at 100k — the bulk
+    # of the r3 trace's non-kernel tail); the kernel does the same
+    # compaction in one dispatch of ~2*KB*T_ang scalar-loop iterations.
+    ws_pallas: bool = True
 
 
 class RSortTiles(NamedTuple):
@@ -499,6 +506,163 @@ def _layout_from_geometry(
     )
 
 
+def _ws_build_kernel(
+    w1, w2, bt, bj, bb, bfir, bbl, bbh, ft, fj, fb, ffir, fbl, fbh,
+    nraw, tile_w, blk_w, bcnt, bstart,
+    *, kb, t_ang, n_ch, t_chunk, w, ba, bj_bits,
+):
+    """Serial work-list compaction on the TPU scalar core.
+
+    Inputs are (KB*T_ang,) int32 PACKED words per (block, tile) pair,
+    b-major — packed so the per-pair decode is shifts/masks only (an
+    integer division per pair measurably slows the scalar loop):
+      w1 = abs_lo << ba | (abs_hi + 1)     (absolute active-bin range)
+      w2 = j_lo << bj_bits | (j_hi + 1)    (chunk range; empty: 1 << bj_bits)
+    Empty pairs give j_lo >= j_hi + 1, so the chunk loop below runs zero
+    iterations. Emits BOTH list orders in one pass: the backward list
+    directly (the pair loop IS block-major order) and the forward
+    (tile, chunk, block)-sorted list via a stable counting sort into
+    per-(tile, chunk) buckets — ~2*KB*T_ang + 2W scalar iterations total,
+    replacing the XLA scatter/scan/argsort chain. Slots past the item count
+    are left uninitialized: every consumer clamps its work index to
+    n_items - 1 (see `ie` in the kernel index maps), and parity tests
+    compare only the valid prefix.
+    """
+    nq = t_ang * n_ch
+
+    def zq(i, c):
+        tile_w[i] = 0
+        bcnt[i] = 0
+        return c
+
+    jax.lax.fori_loop(0, nq, zq, 0)
+
+    def zb(i, c):
+        blk_w[i] = 0
+        return c
+
+    jax.lax.fori_loop(0, kb, zb, 0)
+
+    def pair_body(i, carry):
+        # (b, t) ride the carry (increment + wrap): no per-pair division.
+        cnt0, last_b0, b, t = carry
+        v2 = w2[i]
+        jl = v2 >> bj_bits
+        jh1 = v2 & ((1 << bj_bits) - 1)
+        v1 = w1[i]
+        a_lo = v1 >> ba
+        a_hi = (v1 & ((1 << ba) - 1)) - 1
+
+        def j_body(j, c):
+            cnt, last_b = c
+
+            @pl.when(cnt < w)
+            def _():
+                bt[cnt] = t
+                bj[cnt] = j
+                bb[cnt] = b
+                bfir[cnt] = jnp.where(b != last_b, 1, 0).astype(jnp.int32)
+                base = j * t_chunk
+                bbl[cnt] = jnp.clip(a_lo - base, 0, t_chunk - 1)
+                bbh[cnt] = jnp.clip(a_hi - base, 0, t_chunk - 1)
+                q = t * n_ch + j
+                tile_w[q] = 1
+                blk_w[b] = 1
+                bcnt[q] = bcnt[q] + 1
+
+            return (cnt + 1, b)
+
+        cnt1, last_b1 = jax.lax.fori_loop(jl, jh1, j_body, (cnt0, last_b0))
+        t1 = t + 1
+        wrap = t1 == t_ang
+        return (
+            cnt1, last_b1,
+            jnp.where(wrap, b + 1, b), jnp.where(wrap, 0, t1),
+        )
+
+    cnt, _, _, _ = jax.lax.fori_loop(
+        0, kb * t_ang, pair_body,
+        (jnp.int32(0), jnp.int32(-1), jnp.int32(0), jnp.int32(0)),
+    )
+    nraw[0] = cnt
+
+    # Bucket prefix sum: fwd buckets q = t*n_ch + j ascend exactly in the
+    # forward sort-key order (t, j). bcnt becomes the placement cursor.
+    def prefix(q, acc):
+        c = bcnt[q]
+        bstart[q] = acc
+        bcnt[q] = acc
+        return acc + c
+
+    jax.lax.fori_loop(0, nq, prefix, jnp.int32(0))
+
+    # Stable placement: items arrive in block-major order, so each bucket
+    # fills with ascending b — matching the XLA argsort's (t, j, b) key.
+    def place(i, c):
+        t = bt[i]
+        q = t * n_ch + bj[i]
+        dest = bcnt[q]
+        bcnt[q] = dest + 1
+        ft[dest] = t
+        fj[dest] = bj[i]
+        fb[dest] = bb[i]
+        fbl[dest] = bbl[i]
+        fbh[dest] = bbh[i]
+        ffir[dest] = jnp.where(dest == bstart[q], 1, 0).astype(jnp.int32)
+        return c
+
+    jax.lax.fori_loop(0, jnp.minimum(cnt, w), place, 0)
+
+
+def _build_work_lists(
+    abs_lo, abs_hi, kb: int, t_ang: int, n_ch: int, spec: RSortSpec,
+    interpret: Optional[bool] = None,
+):
+    """Pallas work-list construction: (KB*T,) bin ranges -> RSortTiles lists.
+
+    abs_lo/abs_hi use the empty-pair encoding (total_bins, -1). Returns
+    (bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh, fwd_t, fwd_j, fwd_b,
+    fwd_first, fwd_bl, fwd_bh, n_raw, tile_w, blk_w); n_raw is the
+    UNCLIPPED item count (overflow = n_raw > w_max).
+    """
+    interp = _interpret_default() if interpret is None else interpret
+    w = spec.w_max
+    nq = t_ang * n_ch
+    total_bins = n_ch * spec.t_chunk
+    ba = int(total_bins).bit_length()
+    bj_bits = int(n_ch).bit_length()
+    if 2 * ba > 31 or 2 * bj_bits > 31:
+        raise ValueError(f"bin count {total_bins} too large to pack")
+    # Pack per-pair ranges into shift words (vector ops; the scalar loop
+    # then decodes with shifts/masks only — see _ws_build_kernel).
+    empty = abs_hi < abs_lo
+    w1 = (abs_lo << ba) | jnp.where(empty, 0, abs_hi + 1)
+    w2 = jnp.where(
+        empty,
+        jnp.int32(1 << bj_bits),
+        ((abs_lo // spec.t_chunk) << bj_bits) | (abs_hi // spec.t_chunk + 1),
+    )
+    wi = jax.ShapeDtypeStruct((w,), jnp.int32)
+    return pl.pallas_call(
+        functools.partial(
+            _ws_build_kernel, kb=kb, t_ang=t_ang, n_ch=n_ch,
+            t_chunk=spec.t_chunk, w=w, ba=ba, bj_bits=bj_bits,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 15,
+        out_shape=[wi] * 12 + [
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((nq,), jnp.int32),
+            jax.ShapeDtypeStruct((kb,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((nq,), jnp.int32),
+            pltpu.SMEM((nq,), jnp.int32),
+        ],
+        interpret=interp,
+    )(w1, w2)
+
+
 def rsort_cull(
     means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
     scaling_modifier: float = 1.0, layout: Optional[RSortLayout] = None,
@@ -573,37 +737,59 @@ def rsort_cull(
     )  # (KB, T)
     blk_hi = jnp.max(jnp.where(memb3, hi[:, :, None], -jnp.inf), axis=1)
 
-    # Radial chunk edges over the padded bin range.
+    # Exact per-pair ABSOLUTE bin ranges: bin a is active iff its center
+    # r0 + a*dr lies within [blk_lo - dr/2, blk_hi + dr/2] (samples outside
+    # are beyond every member's cull sphere radially, reverse triangle
+    # inequality). The 1e-4-bin widening absorbs f32 rounding. Chunk ranges
+    # derive from the bin ranges (j = a // t_chunk): strictly tighter than
+    # the old chunk-interval overlap test, which could emit items whose
+    # chunk touched only the half-bin margin and held no active bin center.
+    # Empty pairs (no members: blk_lo = +inf > blk_hi = -inf) and pairs
+    # entirely outside the padded bin range encode al = total_bins, ah = -1.
     dr = r[1] - r[0]
-    pad_bins = n_ch * spec.t_chunk - num_r
-    r_hi_pad = r[-1] + pad_bins * dr
-    chunk_lo = r[0] + jnp.arange(n_ch) * (spec.t_chunk * dr) - 0.5 * dr
-    chunk_hi = chunk_lo + spec.t_chunk * dr
-    chunk_hi = jnp.minimum(chunk_hi, r_hi_pad + 0.5 * dr)
-
-    # Chunk ranges per (block, tile): block b overlaps chunks
-    # [j_lo, j_hi] — contiguous because footprints are intervals. Empty
-    # (block, tile) pairs get j_lo = n_ch, j_hi = n_ch - 1 (count 0).
-    j_lo = jnp.searchsorted(chunk_hi, blk_lo, side="left").astype(jnp.int32)
-    j_hi = (
-        jnp.searchsorted(chunk_lo, blk_hi, side="right").astype(jnp.int32) - 1
+    total_bins = n_ch * spec.t_chunk
+    raw_lo = jnp.ceil((blk_lo - r[0]) / dr - 0.5 - 1e-4)
+    raw_hi = jnp.floor((blk_hi - r[0]) / dr + 0.5 + 1e-4)
+    valid_pair = (
+        (blk_lo <= blk_hi) & (raw_hi >= 0) & (raw_lo <= total_bins - 1)
     )
+    abs_lo = jnp.where(
+        valid_pair,
+        jnp.clip(raw_lo, 0, total_bins - 1).astype(jnp.int32),
+        total_bins,
+    )
+    abs_hi = jnp.where(
+        valid_pair,
+        jnp.clip(raw_hi, 0, total_bins - 1).astype(jnp.int32),
+        -1,
+    )
+
+    if spec.ws_pallas:
+        (bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh,
+         fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh,
+         n_raw, tile_w, blk_w) = _build_work_lists(
+            abs_lo.reshape(-1), abs_hi.reshape(-1), kb, t_ang, n_ch, spec,
+        )
+        return RSortTiles(
+            full_perm=full_perm,
+            inv_perm=inv_perm_step,
+            words=words_pad,
+            counts=counts,
+            fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
+            fwd_bl=fwd_bl, fwd_bh=fwd_bh,
+            bwd_t=bwd_t, bwd_j=bwd_j, bwd_b=bwd_b, bwd_first=bwd_first,
+            bwd_bl=bwd_bl, bwd_bh=bwd_bh,
+            n_items=jnp.minimum(n_raw, spec.w_max),
+            tile_has_work=tile_w.reshape(t_ang, n_ch) > 0,
+            blk_has_work=blk_w > 0,
+            n_groups=n_groups,
+            overflowed=(n_raw[0] > spec.w_max) | missed,
+        )
+
+    j_lo = jnp.where(valid_pair, abs_lo // spec.t_chunk, n_ch)
+    j_hi = jnp.where(valid_pair, abs_hi // spec.t_chunk, -1)
     nch_bt = jnp.maximum(j_hi - j_lo + 1, 0)  # (KB, T)
     n_items = jnp.sum(nch_bt)
-
-    # Exact per-pair ABSOLUTE bin ranges: bin a is active iff its center
-    # r0 + a*dr lies within [blk_lo - dr/2, blk_hi + dr/2] — the identical
-    # cutoff guarantee as the chunk-level test (samples outside are beyond
-    # every member's cull sphere radially, reverse triangle inequality).
-    # The 1e-4-bin widening absorbs f32 rounding; clip before the int cast
-    # so empty pairs' +-inf intervals stay finite.
-    total_bins = n_ch * spec.t_chunk
-    abs_lo = jnp.ceil(
-        jnp.clip((blk_lo - r[0]) / dr - 0.5 - 1e-4, 0, total_bins - 1)
-    ).astype(jnp.int32)
-    abs_hi = jnp.floor(
-        jnp.clip((blk_hi - r[0]) / dr + 0.5 + 1e-4, 0, total_bins - 1)
-    ).astype(jnp.int32)
 
     # --- work lists by prefix-sum expansion (no large sorts) ----------------
     # Pairs in (block, tile) order; each expands to its chunk range. The

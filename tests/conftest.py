@@ -57,6 +57,11 @@ _SLOW_PATTERNS = (
     "test_per_gaussian_chunked",
     "TestBatchedRender",
     "test_capacity_padding",
+    "test_b1_matches_vmap_row",
+    "test_vmap_parity",
+    "test_fused_analytic.py::TestGateLadderLaneAligned",
+    "test_matches_pallas_tile_backend",
+    "TestPallasRenderParity::test_gradient_parity",
 )
 
 

@@ -626,3 +626,87 @@ class TestGateLadderLaneAligned:
             scale = np.abs(b).max() + 1e-12
             np.testing.assert_allclose(a / scale, b / scale, atol=7e-3,
                                        err_msg=name)
+
+
+class TestWorkListBuilder:
+    """The serial Pallas work-list kernel must reproduce the XLA prefix-sum
+    construction exactly (valid prefix) at every chunk geometry, including
+    under vmap and on overflow (`_ws_build_kernel` / RSortSpec.ws_pallas)."""
+
+    FIELDS = ("fwd_t", "fwd_j", "fwd_b", "fwd_first", "fwd_bl", "fwd_bh",
+              "bwd_t", "bwd_j", "bwd_b", "bwd_first", "bwd_bl", "bwd_bh")
+
+    def _cull_pair(self, scene, spec, cam=CAM, ns=8):
+        grid = shell_grid(cam, BOX, ns, 60, 140, C, DT)
+        args = (scene.means, scene.scales, scene.alive, cam,
+                grid.theta, grid.phi, grid.r)
+        tp = rsort_cull(*args, spec._replace(ws_pallas=True))
+        tx = rsort_cull(*args, spec._replace(ws_pallas=False))
+        return tp, tx
+
+    @pytest.mark.parametrize("t_chunk,gate", [(8, 4), (16, 8), (80, 80)])
+    def test_exact_parity(self, t_chunk, gate):
+        scene = make_scene(64, seed=21)
+        spec = SPEC._replace(t_chunk=t_chunk, gate_bins=gate)
+        tp, tx = self._cull_pair(scene, spec)
+        n = int(tp.n_items[0])
+        assert n == int(tx.n_items[0]) and n > 0
+        assert bool(tp.overflowed) == bool(tx.overflowed) is False
+        for f in self.FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(tp, f))[:n],
+                np.asarray(getattr(tx, f))[:n], err_msg=f,
+            )
+        np.testing.assert_array_equal(
+            np.asarray(tp.tile_has_work), np.asarray(tx.tile_has_work)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(tp.blk_has_work), np.asarray(tx.blk_has_work)
+        )
+
+    def test_overflow_prefix_and_safe_masks(self):
+        """On overflow both paths truncate identically; the Pallas has_work
+        masks cover ONLY visited (written) items — tiles whose every item
+        overflowed stay masked, so their uninitialized output blocks are
+        zeroed (the XLA path marked them from the un-truncated cover set)."""
+        scene = make_scene(64, seed=22)
+        spec = SPEC._replace(w_max=16)
+        tp, tx = self._cull_pair(scene, spec)
+        assert bool(tp.overflowed) and bool(tx.overflowed)
+        n = int(tp.n_items[0])
+        assert n == int(tx.n_items[0]) == 16
+        for f in self.FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(tp, f))[:n],
+                np.asarray(getattr(tx, f))[:n], err_msg=f,
+            )
+        assert (np.asarray(tp.tile_has_work)
+                <= np.asarray(tx.tile_has_work)).all()
+        assert (np.asarray(tp.blk_has_work)
+                <= np.asarray(tx.blk_has_work)).all()
+
+    def test_vmap_parity(self):
+        scene = make_scene(48, seed=23)
+        cams = jnp.asarray(
+            np.array([[0.0, 0.0, 0.0], [0.2, 0.0, 0.1], [-0.3, 0.0, 0.2]]),
+            jnp.float32,
+        )
+        grid = shell_grid(cams[0], BOX, 8, 60, 140, C, DT)
+
+        def cull(cam, ws):
+            return rsort_cull(
+                scene.means, scene.scales, scene.alive, cam,
+                grid.theta, grid.phi, grid.r,
+                SPEC._replace(ws_pallas=ws),
+            )
+
+        tp = jax.vmap(lambda c: cull(c, True))(cams)
+        tx = jax.vmap(lambda c: cull(c, False))(cams)
+        for b in range(3):
+            n = int(tp.n_items[b, 0])
+            assert n == int(tx.n_items[b, 0])
+            for f in self.FIELDS:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(tp, f))[b, :n],
+                    np.asarray(getattr(tx, f))[b, :n], err_msg=f,
+                )

@@ -38,13 +38,26 @@ def load_latest_trace(trace_dir: str) -> dict:
         return json.load(f)
 
 
-def op_durations(trace: dict) -> collections.Counter:
-    """Total duration (us) per event name across complete ('X') events."""
+def op_durations(trace: dict, long: bool = False):
+    """Total duration (us) per event name across complete ('X') events.
+
+    With `long`, also collect each op's HLO `long_name` (the full
+    instruction with operand shapes, recorded by the TPU profiler) and
+    `bytes_accessed` — this is how tail fusions are attributed to source
+    without fusion-ID-matching a separately compiled module."""
     agg = collections.Counter()
+    meta = {}
     for e in trace.get("traceEvents", []):
         if e.get("ph") == "X" and "dur" in e:
-            agg[e.get("name", "?")] += e["dur"]
-    return agg
+            name = e.get("name", "?")
+            agg[name] += e["dur"]
+            if long and name not in meta:
+                a = e.get("args", {})
+                if "long_name" in a:
+                    meta[name] = (
+                        a.get("bytes_accessed", "?"), a["long_name"]
+                    )
+    return agg, meta
 
 
 def main():
@@ -53,15 +66,22 @@ def main():
     ap.add_argument("--steps", type=int, default=1,
                     help="divide totals by this step count")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--long", action="store_true",
+                    help="print each op's HLO long_name + bytes accessed")
+    ap.add_argument("--chars", type=int, default=240,
+                    help="long_name truncation width")
     args = ap.parse_args()
 
-    agg = op_durations(load_latest_trace(args.trace_dir))
+    agg, meta = op_durations(load_latest_trace(args.trace_dir), args.long)
     print(f"{'ms/step':>10}  op")
     for name, us in agg.most_common(args.top):
         # Python-side profiler frames start with '$'; usually noise.
         if name.startswith("$"):
             continue
         print(f"{us / args.steps / 1000:10.3f}  {name[:120]}")
+        if args.long and name in meta:
+            nbytes, lname = meta[name]
+            print(f"{'':10}  [{nbytes} B] {lname[:args.chars]}")
 
 
 if __name__ == "__main__":

@@ -495,7 +495,11 @@ def _an_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, aux, edges, xf_ref,
         dw_cols = jnp.stack(
             [dw_acc[c] * smask for c in range(n_c)], axis=1
         )
-        zero_pat = jnp.zeros((dg.shape[0], n_words), jnp.float32)
+        # Word column + any trailing wide-gather geometry columns get
+        # zero gradient.
+        zero_pat = jnp.zeros(
+            (dg.shape[0], gw.shape[1] - FDIM - n_c), jnp.float32
+        )
         dgw_ref[0] += jnp.concatenate([dg, dw_cols, zero_pat], axis=1)
 
 
@@ -551,7 +555,7 @@ def analytic_rsort_field(
     tile_has_work,
     blk_has_work,
     spec: RSortSpec = RSortSpec(),
-    dims: Tuple[int, int, int, int] = (4, 2, 25, 1),
+    dims: Tuple[int, int, int, int, int] = (4, 2, 25, 1, 0),
     interpret: Optional[bool] = None,
 ):
     """out (n_tiles_total, C, S): exact per-bin optical depths (tau), summed
@@ -566,11 +570,11 @@ def analytic_rsort_field(
 def _an_fwd_impl(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
                  fwd_bl, fwd_bh, n_items, tile_has_work, spec, dims,
                  interpret):
-    n_tt, n_pt, n_ch, n_words = dims
+    n_tt, n_pt, n_ch, n_words, n_extra = dims
     t_ang = n_tt * n_pt
     s_ang = xfeat.shape[2] // 3
     s = s_ang * spec.t_chunk
-    c = table.shape[-1] - FDIM - n_words
+    c = table.shape[-1] - FDIM - n_words - n_extra
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_tt, n_pt)
 
@@ -633,12 +637,12 @@ def _an_vjp_fwd(xfeat, aux, edges, table, fwd_t, fwd_j, fwd_b, fwd_first,
 def _an_vjp_bwd(spec, dims, interpret, res, go):
     (xfeat, aux, edges, table, bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl,
      bwd_bh, n_items, blk_has_work) = res
-    n_tt, n_pt, n_ch, n_words = dims
+    n_tt, n_pt, n_ch, n_words, n_extra = dims
     t_ang = n_tt * n_pt
     s_ang = xfeat.shape[2] // 3
     s = s_ang * spec.t_chunk
     f_in = table.shape[-1]
-    c = f_in - FDIM - n_words
+    c = f_in - FDIM - n_words - n_extra
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_tt, n_pt)
 
@@ -720,11 +724,21 @@ def analytic_gaussian_field(
     )  # (T, 8)
     edges = chunk_edges(r, spec)  # (n_ch, t_chunk + 1)
 
-    gw = jnp.concatenate([gfeat, channel_weights], axis=1)
-    gw_pad = pad_gather(gw, tiles.full_perm, tiles.inv_perm)
-    patterns = jax.lax.stop_gradient(tiles.words.astype(jnp.float32))
-    table = jnp.concatenate([gw_pad, patterns], axis=1)
     n_words = tiles.words.shape[1]
+    if tiles.table is not None:
+        # Table already rode the cull's wide gather (see rsort_cull);
+        # the kernels DMA the trailing geometry columns but never read
+        # them.
+        table = tiles.table
+        n_extra = (
+            table.shape[-1] - FDIM - channel_weights.shape[1] - n_words
+        )
+    else:
+        gw = jnp.concatenate([gfeat, channel_weights], axis=1)
+        gw_pad = pad_gather(gw, tiles.full_perm, tiles.inv_perm)
+        patterns = jax.lax.stop_gradient(tiles.words.astype(jnp.float32))
+        table = jnp.concatenate([gw_pad, patterns], axis=1)
+        n_extra = 0
     kb = table.shape[0] // spec.g_tile
     table3 = table.reshape(kb, spec.g_tile, table.shape[-1])
 
@@ -735,7 +749,7 @@ def analytic_gaussian_field(
         tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
         tiles.bwd_bl, tiles.bwd_bh,
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
-        spec, (n_tt, n_pt, n_ch, n_words), interpret,
+        spec, (n_tt, n_pt, n_ch, n_words, n_extra), interpret,
     )
     tp = TileSpec(t_theta=spec.t_theta, t_phi=spec.t_phi, t_r=spec.t_chunk)
     field = untile_field_t(out, ns, num_r, tp, n_tt, n_pt, n_ch)

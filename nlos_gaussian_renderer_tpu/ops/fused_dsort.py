@@ -419,7 +419,7 @@ def dsort_gaussian_field(
         # dup_gather's backward scatter-adds EVERY padded row: uninitialized
         # dead-block gradient rows must be zeroed (see RSortSpec).
         spec._replace(mask_dead_blocks=True),
-        (n_tt, n_pt, n_ch, n_words), interpret,
+        (n_tt, n_pt, n_ch, n_words, 0), interpret,
     )
     field = untile_field_t(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
     return field, tiles.overflowed

@@ -206,6 +206,9 @@ class RSortTiles(NamedTuple):
     blk_has_work: jax.Array  # (KB,) bool
     n_groups: jax.Array  # () int32 observed pattern groups (diagnostics)
     overflowed: jax.Array  # () bool — work list truncated
+    # Padded differentiable kernel table (G_pad, FDIM+C+1+3) when the cull
+    # was given `gw` (see rsort_cull wide-gather path); None otherwise.
+    table: Optional[jax.Array] = None
 
 
 def _padded_rows(g: int, spec: RSortSpec) -> int:
@@ -384,11 +387,14 @@ def rsort_layout(
         means, scales, alive, cam, theta, phi, r, spec, scaling_modifier,
         slack,
     )
-    return _layout_from_geometry(d, word, valid_g, g, n_tt, n_pt, spec)
+    return _layout_from_geometry(
+        d, word, valid_g, g, n_tt, n_pt, spec, d_hi=r[-1]
+    )
 
 
 def _layout_from_geometry(
-    d, word, valid_g, g: int, n_tt: int, n_pt: int, spec: RSortSpec
+    d, word, valid_g, g: int, n_tt: int, n_pt: int, spec: RSortSpec,
+    d_hi=1.0,
 ) -> RSortLayout:
     _, _, b_total = _rect_bits(n_tt, n_pt)
     words = word[:, None]
@@ -400,10 +406,14 @@ def _layout_from_geometry(
     # scale, below sigma). One sort operand: ~2x cheaper than key+d at 100k.
     empty = ~valid_g
     dq_bits = min(max(30 - (b_total + 1), 6), 16)
-    d_lo = jnp.min(d)
-    d_span = jnp.maximum(jnp.max(d) - d_lo, 1e-6)
+    # STATIC quantization range [0, d_hi]: d is only a sort key (block
+    # tightness, never correctness), so the old min/max-of-d reduce — a
+    # 100k-row pass plus a scalar->vector sync point — buys nothing over a
+    # fixed range. Rows beyond d_hi clip to the top code (they are out of
+    # the radial window and sort into the empty group anyway).
+    d_span = jnp.maximum(d_hi, 1e-6)
     dq = jnp.clip(
-        ((d - d_lo) / d_span * ((1 << dq_bits) - 1)).astype(jnp.int32),
+        (d / d_span * ((1 << dq_bits) - 1)).astype(jnp.int32),
         0, (1 << dq_bits) - 1,
     )
     key_c = jnp.where(empty, jnp.int32(1) << b_total, words[:, 0])
@@ -614,34 +624,114 @@ def _ws_build_kernel(
     jax.lax.fori_loop(0, jnp.minimum(cnt, w), place, 0)
 
 
-def _build_work_lists(
-    abs_lo, abs_hi, kb: int, t_ang: int, n_ch: int, spec: RSortSpec,
+def _cull_reduce_kernel(
+    rdr_ref, words_ref, lo_ref, hi_ref, w1_ref, w2_ref,
+    *, n_tt, n_pt, t_chunk, n_ch, ba, bj_bits,
+):
+    """Vector phase of the cull finalize: per-(block, tile) radial interval
+    unions -> packed builder words, one grid step.
+
+    Inputs are (KB, g_tile) f32 block-major views of the padded geometry
+    columns (free bitcast reshapes). For each of the t_ang static tiles:
+    decode the rect words, mask the member rows, min/max-reduce the
+    interval ends over the block, convert to absolute active-bin ranges,
+    and pack the (w1, w2) shift words `_ws_build_kernel` consumes. This
+    replaces the XLA where/min/max/ceil/select chain (~0.5 ms of
+    100k-row streaming fusions per step) with ~40 vector ops on
+    (KB, g_tile) arrays."""
+    r0 = rdr_ref[0]
+    dr = rdr_ref[1]
+    b_t, b_p, _ = _rect_bits(n_tt, n_pt)
+    v = words_ref[:]  # (KB, G_T) f32 packed rect words (<= 23 bits, exact)
+    q1 = jnp.floor(v * (2.0 ** -b_p))
+    ph_hi = v - q1 * (1 << b_p)
+    q2 = jnp.floor(q1 * (2.0 ** -b_p))
+    ph_lo = q1 - q2 * (1 << b_p)
+    q3 = jnp.floor(q2 * (2.0 ** -b_t))
+    th_hi = q2 - q3 * (1 << b_t)
+    valid = jnp.floor(q3 * (2.0 ** -b_t))
+    th_lo = q3 - valid * (1 << b_t)
+    ok = valid > 0.0
+    lo = lo_ref[:]
+    hi = hi_ref[:]
+    total_bins = n_ch * t_chunk
+    for t in range(n_tt * n_pt):
+        tt = float(t // n_pt)
+        pt = float(t % n_pt)
+        inside = (
+            ok & (tt >= th_lo) & (tt <= th_hi)
+            & (pt >= ph_lo) & (pt <= ph_hi)
+        )
+        blk_lo = jnp.min(
+            jnp.where(inside, lo, jnp.inf), axis=1, keepdims=True
+        )  # (KB, 1)
+        blk_hi = jnp.max(
+            jnp.where(inside, hi, -jnp.inf), axis=1, keepdims=True
+        )
+        raw_lo = jnp.ceil((blk_lo - r0) / dr - 0.5 - 1e-4)
+        raw_hi = jnp.floor((blk_hi - r0) / dr + 0.5 + 1e-4)
+        vp = (
+            (blk_lo <= blk_hi) & (raw_hi >= 0)
+            & (raw_lo <= total_bins - 1)
+        )
+        al = jnp.clip(raw_lo, 0, total_bins - 1).astype(jnp.int32)
+        ah = jnp.clip(raw_hi, 0, total_bins - 1).astype(jnp.int32)
+        w1_ref[:, t:t + 1] = jnp.where(vp, (al << ba) | (ah + 1), 0)
+        w2_ref[:, t:t + 1] = jnp.where(
+            vp,
+            ((al // t_chunk) << bj_bits) | (ah // t_chunk + 1),
+            jnp.int32(1 << bj_bits),
+        )
+
+
+def _block_ranges_pallas(
+    geom_pad, n_gw: int, kb: int, spec: RSortSpec, r,
+    n_tt: int, n_pt: int, n_ch: int,
     interpret: Optional[bool] = None,
 ):
-    """Pallas work-list construction: (KB*T,) bin ranges -> RSortTiles lists.
-
-    abs_lo/abs_hi use the empty-pair encoding (total_bins, -1). Returns
-    (bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh, fwd_t, fwd_j, fwd_b,
-    fwd_first, fwd_bl, fwd_bh, n_raw, tile_w, blk_w); n_raw is the
-    UNCLIPPED item count (overflow = n_raw > w_max).
-    """
+    """(G_pad, >=n_gw+3) padded rows -> packed (KB*T,) builder words."""
     interp = _interpret_default() if interpret is None else interpret
-    w = spec.w_max
-    nq = t_ang * n_ch
     total_bins = n_ch * spec.t_chunk
     ba = int(total_bins).bit_length()
     bj_bits = int(n_ch).bit_length()
     if 2 * ba > 31 or 2 * bj_bits > 31:
         raise ValueError(f"bin count {total_bins} too large to pack")
-    # Pack per-pair ranges into shift words (vector ops; the scalar loop
-    # then decodes with shifts/masks only — see _ws_build_kernel).
-    empty = abs_hi < abs_lo
-    w1 = (abs_lo << ba) | jnp.where(empty, 0, abs_hi + 1)
-    w2 = jnp.where(
-        empty,
-        jnp.int32(1 << bj_bits),
-        ((abs_lo // spec.t_chunk) << bj_bits) | (abs_hi // spec.t_chunk + 1),
-    )
+    t_ang = n_tt * n_pt
+    gt = spec.g_tile
+    rdr = jnp.stack([r[0], r[1] - r[0]])
+    words2 = geom_pad[:, n_gw].reshape(kb, gt)
+    lo2 = geom_pad[:, n_gw + 1].reshape(kb, gt)
+    hi2 = geom_pad[:, n_gw + 2].reshape(kb, gt)
+    w1, w2 = pl.pallas_call(
+        functools.partial(
+            _cull_reduce_kernel, n_tt=n_tt, n_pt=n_pt,
+            t_chunk=spec.t_chunk, n_ch=n_ch, ba=ba, bj_bits=bj_bits,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec((kb, gt), lambda: (0, 0))] * 3,
+        out_specs=[pl.BlockSpec((kb, t_ang), lambda: (0, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((kb, t_ang), jnp.int32)] * 2,
+        interpret=interp,
+    )(rdr, words2, lo2, hi2)
+    return w1.reshape(-1), w2.reshape(-1), ba, bj_bits
+
+
+def _build_work_lists(
+    w1, w2, ba: int, bj_bits: int, kb: int, t_ang: int, n_ch: int,
+    spec: RSortSpec, interpret: Optional[bool] = None,
+):
+    """Pallas work-list construction: packed (KB*T,) range words ->
+    RSortTiles lists.
+
+    w1/w2 use the `_ws_build_kernel` packing (`_block_ranges_pallas`
+    produces them in-kernel). Returns (bwd_t, bwd_j, bwd_b, bwd_first,
+    bwd_bl, bwd_bh, fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh, n_raw,
+    tile_w, blk_w); n_raw is the UNCLIPPED item count (overflow = n_raw >
+    w_max).
+    """
+    interp = _interpret_default() if interpret is None else interpret
+    w = spec.w_max
+    nq = t_ang * n_ch
     wi = jax.ShapeDtypeStruct((w,), jnp.int32)
     return pl.pallas_call(
         functools.partial(
@@ -666,12 +756,23 @@ def _build_work_lists(
 def rsort_cull(
     means, scales, alive, cam, theta, phi, r, spec: RSortSpec,
     scaling_modifier: float = 1.0, layout: Optional[RSortLayout] = None,
+    gw=None,
 ) -> RSortTiles:
     """Cull + schedule for one scan point. With `layout` (a frozen
     `rsort_layout`), the per-step work is gathers and dense reduces only —
     no sort, no scatter; words and block interval unions are still exact
     for THIS camera, so the render is exact regardless of layout staleness
-    (see `RSortLayout`)."""
+    (see `RSortLayout`).
+
+    With `gw` ((G, FDIM + C) differentiable forms|weights), the kernel
+    table rides the SAME two chained row gathers as the cull geometry
+    (`wide_pad_gather`): `tiles.table` then holds the padded
+    [forms | weights | word | d-lo | d-hi | iota] rows ready for the
+    kernels (which ignore the 3 trailing geometry columns), and
+    `rsort_gaussian_field` skips its separate `pad_gather` + pattern
+    concatenate + re-layout chain (~0.4 ms/step at 100k). Gather cost is
+    row-count-bound, not width-bound, so widening the existing gather is
+    nearly free."""
     ns = theta.shape[0]
     num_r = r.shape[0]
     n_tt = pl.cdiv(ns, spec.t_theta)
@@ -685,7 +786,9 @@ def rsort_cull(
         means, scales, alive, cam, theta, phi, r, spec, scaling_modifier
     )
     if layout is None:
-        layout = _layout_from_geometry(d, word, valid_g, g, n_tt, n_pt, spec)
+        layout = _layout_from_geometry(
+            d, word, valid_g, g, n_tt, n_pt, spec, d_hi=r[-1]
+        )
         inv_perm_step = layout.inv_perm
     else:
         # Frozen layouts can hold slots for rows the ACTUAL camera culls;
@@ -706,46 +809,83 @@ def rsort_cull(
     # slots (src sentinel G) take the OOB zero fill: word 0 gates them out
     # of the kernels, and full_perm 0 is harmless — the fetched row 0 data
     # is finite and its smask is 0 in every kernel.
-    vals = jnp.stack(
+    geom = jnp.stack(
         [
+            word.astype(jnp.float32),
             d - radius,
             d + radius,
-            word.astype(jnp.float32),
             jnp.arange(g, dtype=jnp.float32),
         ],
         axis=1,
     )
-    vals_sorted = jnp.take(vals, layout.perm, axis=0)
-    per_row = jnp.take(
-        vals_sorted, layout.src, axis=0, mode="fill", fill_value=0.0
-    )  # (g_pad, 4)
-    full_perm = per_row[:, 3].astype(jnp.int32)
-    words_pad = per_row[:, 2:3].astype(jnp.int32)
+    if gw is None:
+        n_gw = 0
+        per_row = jnp.take(
+            jnp.take(geom, layout.perm, axis=0), layout.src, axis=0,
+            mode="fill", fill_value=0.0,
+        )  # (g_pad, 4)
+        table = None
+    else:
+        n_gw = gw.shape[1]
+        per_row = wide_pad_gather(
+            gw, geom, layout.perm, layout.src, inv_perm_step, n_gw
+        )  # (g_pad, n_gw + 4)
+        table = per_row
+    geom_r = jax.lax.stop_gradient(per_row[:, n_gw:])
+    full_perm = geom_r[:, 3].astype(jnp.int32)
+    words_pad = geom_r[:, 0:1].astype(jnp.int32)
     # A step-valid Gaussian with no layout slot would be silently dropped —
     # flag it through the overflow channel (fit() re-tunes and rebuilds,
     # which refreshes the layout). Never fires when the layout is fresh.
     missed = jnp.any(valid_g & (layout.inv_perm >= g_pad))
 
-    # --- per-(block, tile) exact radial footprint unions --------------------
     kb = g_pad // spec.g_tile
+    if spec.ws_pallas:
+        # Vector finalize kernel + serial builder: the per-(block, tile)
+        # interval unions, bin-range conversion, and packing all happen in
+        # `_cull_reduce_kernel`; XLA never materializes memb/blk_lo/blk_hi.
+        w1, w2, ba, bjb = _block_ranges_pallas(
+            geom_r, 0, kb, spec, r, n_tt, n_pt, n_ch
+        )
+        (bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh,
+         fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh,
+         n_raw, tile_w, blk_w) = _build_work_lists(
+            w1, w2, ba, bjb, kb, t_ang, n_ch, spec,
+        )
+        return RSortTiles(
+            full_perm=full_perm,
+            inv_perm=inv_perm_step,
+            words=words_pad,
+            counts=counts,
+            fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
+            fwd_bl=fwd_bl, fwd_bh=fwd_bh,
+            bwd_t=bwd_t, bwd_j=bwd_j, bwd_b=bwd_b, bwd_first=bwd_first,
+            bwd_bl=bwd_bl, bwd_bh=bwd_bh,
+            n_items=jnp.minimum(n_raw, spec.w_max),
+            tile_has_work=tile_w.reshape(t_ang, n_ch) > 0,
+            blk_has_work=blk_w > 0,
+            n_groups=n_groups,
+            overflowed=(n_raw[0] > spec.w_max) | missed,
+            table=table,
+        )
+
+    # --- XLA fallback construction (reference for the kernels above) --------
+    # Per-(block, tile) exact radial footprint unions, then per-pair
+    # ABSOLUTE bin ranges: bin a is active iff its center r0 + a*dr lies
+    # within [blk_lo - dr/2, blk_hi + dr/2] (samples outside are beyond
+    # every member's cull sphere radially, reverse triangle inequality).
+    # The 1e-4-bin widening absorbs f32 rounding. Chunk ranges derive from
+    # the bin ranges (j = a // t_chunk). Empty pairs (no members:
+    # blk_lo = +inf > blk_hi = -inf) and pairs entirely outside the padded
+    # bin range encode al = total_bins, ah = -1.
     memb = decode_rect_members(words_pad[:, 0], n_tt, n_pt)  # (g_pad, T)
-    lo = per_row[:, 0].reshape(kb, spec.g_tile)
-    hi = per_row[:, 1].reshape(kb, spec.g_tile)
+    lo = geom_r[:, 1].reshape(kb, spec.g_tile)
+    hi = geom_r[:, 2].reshape(kb, spec.g_tile)
     memb3 = memb.reshape(kb, spec.g_tile, t_ang)
     blk_lo = jnp.min(
         jnp.where(memb3, lo[:, :, None], jnp.inf), axis=1
     )  # (KB, T)
     blk_hi = jnp.max(jnp.where(memb3, hi[:, :, None], -jnp.inf), axis=1)
-
-    # Exact per-pair ABSOLUTE bin ranges: bin a is active iff its center
-    # r0 + a*dr lies within [blk_lo - dr/2, blk_hi + dr/2] (samples outside
-    # are beyond every member's cull sphere radially, reverse triangle
-    # inequality). The 1e-4-bin widening absorbs f32 rounding. Chunk ranges
-    # derive from the bin ranges (j = a // t_chunk): strictly tighter than
-    # the old chunk-interval overlap test, which could emit items whose
-    # chunk touched only the half-bin margin and held no active bin center.
-    # Empty pairs (no members: blk_lo = +inf > blk_hi = -inf) and pairs
-    # entirely outside the padded bin range encode al = total_bins, ah = -1.
     dr = r[1] - r[0]
     total_bins = n_ch * spec.t_chunk
     raw_lo = jnp.ceil((blk_lo - r[0]) / dr - 0.5 - 1e-4)
@@ -763,29 +903,6 @@ def rsort_cull(
         jnp.clip(raw_hi, 0, total_bins - 1).astype(jnp.int32),
         -1,
     )
-
-    if spec.ws_pallas:
-        (bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh,
-         fwd_t, fwd_j, fwd_b, fwd_first, fwd_bl, fwd_bh,
-         n_raw, tile_w, blk_w) = _build_work_lists(
-            abs_lo.reshape(-1), abs_hi.reshape(-1), kb, t_ang, n_ch, spec,
-        )
-        return RSortTiles(
-            full_perm=full_perm,
-            inv_perm=inv_perm_step,
-            words=words_pad,
-            counts=counts,
-            fwd_t=fwd_t, fwd_j=fwd_j, fwd_b=fwd_b, fwd_first=fwd_first,
-            fwd_bl=fwd_bl, fwd_bh=fwd_bh,
-            bwd_t=bwd_t, bwd_j=bwd_j, bwd_b=bwd_b, bwd_first=bwd_first,
-            bwd_bl=bwd_bl, bwd_bh=bwd_bh,
-            n_items=jnp.minimum(n_raw, spec.w_max),
-            tile_has_work=tile_w.reshape(t_ang, n_ch) > 0,
-            blk_has_work=blk_w > 0,
-            n_groups=n_groups,
-            overflowed=(n_raw[0] > spec.w_max) | missed,
-        )
-
     j_lo = jnp.where(valid_pair, abs_lo // spec.t_chunk, n_ch)
     j_hi = jnp.where(valid_pair, abs_hi // spec.t_chunk, -1)
     nch_bt = jnp.maximum(j_hi - j_lo + 1, 0)  # (KB, T)
@@ -872,6 +989,7 @@ def rsort_cull(
         blk_has_work=jnp.any(nch_bt > 0, axis=1),  # (KB,)
         n_groups=n_groups,
         overflowed=(n_items > w) | missed,
+        table=table,
     )
 
 
@@ -1208,7 +1326,11 @@ def _rs_bwd_kernel(bt, bj, bb, first, bbl, bbh, cnt, cx, x_ref, gw_ref,
             dw_cols.append(zc[:, FDIM - 1] * smask)
         dg = _center_transform_t(dgp, x0, y0, z0) * smask[:, None]
         dw = jnp.stack(dw_cols, axis=1)
-        zero_pat = jnp.zeros((dg.shape[0], n_words), jnp.float32)
+        # Pad to the full table width: word column + any trailing
+        # geometry columns (wide-gather tables) get zero gradient.
+        zero_pat = jnp.zeros(
+            (dg.shape[0], gw.shape[1] - FDIM - n_c), jnp.float32
+        )
         dgw_ref[0] += jnp.concatenate([dg, dw, zero_pat], axis=1)
 
 
@@ -1223,7 +1345,8 @@ def rsort_field(
     tile_has_work,  # (T_ang, n_ch)
     blk_has_work,  # (KB,)
     spec: RSortSpec = RSortSpec(),
-    dims: Tuple[int, int, int, int] = (4, 2, 25, 1),  # (n_tt, n_pt, n_ch, P)
+    dims: Tuple[int, int, int, int, int] = (4, 2, 25, 1, 0),
+    # dims = (n_tt, n_pt, n_ch, n_words, n_extra_geom_cols)
     interpret: Optional[bool] = None,
 ):
     """out (n_tiles_total, C, S) = per-chunk field sums (work-list-sparse).
@@ -1255,7 +1378,7 @@ def _tile_id_map(n_tt, n_pt):
 def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
                     fwd_bl, fwd_bh, n_items, tile_has_work, spec, dims,
                     interpret):
-    n_tt, n_pt, n_ch, n_words = dims
+    n_tt, n_pt, n_ch, n_words, n_extra = dims
     t_ang = n_tt * n_pt
     s = xfeat.shape[2]
     s_ang = spec.t_theta * spec.t_phi
@@ -1263,7 +1386,7 @@ def _rsort_fwd_impl(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
         raise ValueError(
             f"gate_bins={spec.gate_bins} must divide t_chunk={spec.t_chunk}"
         )
-    c = table.shape[-1] - FDIM - n_words
+    c = table.shape[-1] - FDIM - n_words - n_extra
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_tt, n_pt)
 
@@ -1323,12 +1446,12 @@ def _rsort_vjp_fwd(xfeat, centers, table, fwd_t, fwd_j, fwd_b, fwd_first,
 def _rsort_vjp_bwd(spec, dims, interpret, res, go):
     (xfeat, centers, table, bwd_t, bwd_j, bwd_b, bwd_first, bwd_bl, bwd_bh,
      n_items, blk_has_work) = res
-    n_tt, n_pt, n_ch, n_words = dims
+    n_tt, n_pt, n_ch, n_words, n_extra = dims
     t_ang = n_tt * n_pt
     s = xfeat.shape[2]
     s_ang = spec.t_theta * spec.t_phi
     f_in = table.shape[-1]
-    c = f_in - FDIM - n_words
+    c = f_in - FDIM - n_words - n_extra
     interp = _interpret_default() if interpret is None else interpret
     tid = _tile_id_map(n_tt=n_tt, n_pt=n_pt)
 
@@ -1418,6 +1541,43 @@ def _pad_gather_bwd(inv_perm, g):
 
 
 pad_gather.defvjp(_pad_gather_fwd, _pad_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def wide_pad_gather(gw, geom, perm, src, inv_perm, n_diff):
+    """Differentiable columns `gw` + stop-grad geometry columns `geom`
+    through the chained sort-permutation + closed-form-block-map row
+    gathers, as ONE wide row gather pair.
+
+    Row-gather cost at 100k rows is row-count-bound, not width-bound
+    (hardware: an 11-col gather = a 4-col gather = ~0.14 ms), so carrying
+    the kernel table inside the cull's existing geometry gather is free —
+    it replaces the separate `pad_gather` + pattern concatenate +
+    re-layout chain. Backward mirrors `pad_gather`: the cotangent of
+    original row j is `g[inv_perm[j], :n_diff]` (padding slots' cotangents
+    are exactly zero — the kernels mask every gradient component by the
+    membership bit and padding rows carry word 0); geometry columns get
+    no cotangent.
+    """
+    full = jnp.concatenate([gw, geom], axis=1)
+    return jnp.take(
+        jnp.take(full, perm, axis=0), src, axis=0,
+        mode="fill", fill_value=0.0,
+    )
+
+
+def _wide_pad_gather_fwd(gw, geom, perm, src, inv_perm, n_diff):
+    return wide_pad_gather(gw, geom, perm, src, inv_perm, n_diff), inv_perm
+
+
+def _wide_pad_gather_bwd(n_diff, inv_perm, g):
+    dgw = jnp.take(
+        g[:, :n_diff], inv_perm, axis=0, mode="fill", fill_value=0.0
+    )
+    return (dgw, None, None, None, None)
+
+
+wide_pad_gather.defvjp(_wide_pad_gather_fwd, _wide_pad_gather_bwd)
 
 
 def tune_rsort_spec(
@@ -1543,12 +1703,21 @@ def rsort_gaussian_field(
             points, ns, num_r, tp_spec, n_tt, n_pt, n_ch
         )
 
-    gw = jnp.concatenate([gfeat, channel_weights], axis=1)
-    # ONE padded-layout gather (backward: ONE inverse gather — no scatter).
-    gw_pad = pad_gather(gw, tiles.full_perm, tiles.inv_perm)
-    patterns = jax.lax.stop_gradient(tiles.words.astype(jnp.float32))
-    table = jnp.concatenate([gw_pad, patterns], axis=1)
     n_words = tiles.words.shape[1]
+    if tiles.table is not None:
+        # The cull's wide-gather already produced the padded differentiable
+        # table [forms | weights | word | 3 geometry cols] — the kernels
+        # DMA the 3 trailing columns along but never read them.
+        table = tiles.table
+        n_extra = table.shape[-1] - FDIM - channel_weights.shape[1] - n_words
+    else:
+        gw = jnp.concatenate([gfeat, channel_weights], axis=1)
+        # ONE padded-layout gather (backward: ONE inverse gather — no
+        # scatter).
+        gw_pad = pad_gather(gw, tiles.full_perm, tiles.inv_perm)
+        patterns = jax.lax.stop_gradient(tiles.words.astype(jnp.float32))
+        table = jnp.concatenate([gw_pad, patterns], axis=1)
+        n_extra = 0
     kb = table.shape[0] // spec.g_tile
     table3 = table.reshape(kb, spec.g_tile, table.shape[-1])
 
@@ -1565,7 +1734,7 @@ def rsort_gaussian_field(
         tiles.bwd_t, tiles.bwd_j, tiles.bwd_b, tiles.bwd_first,
         tiles.bwd_bl, tiles.bwd_bh,
         tiles.n_items, tiles.tile_has_work, tiles.blk_has_work,
-        spec, (n_tt, n_pt, n_ch, n_words), interpret,
+        spec, (n_tt, n_pt, n_ch, n_words, n_extra), interpret,
     )
     field = untile_field_t(out, ns, num_r, tp_spec, n_tt, n_pt, n_ch)
     return field, tiles.overflowed

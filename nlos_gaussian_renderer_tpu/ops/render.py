@@ -330,6 +330,16 @@ def field_response_pallas(
     op = scene.opacities[:, 0]
     rho = view_albedo(scene, camera_pos, active_sh_degree)
     gfeat = scene.quadratic_form(settings.scaling_modifier)
+    # Channel weights are mode-determined before the cull so the rsort
+    # backend can ride them through the cull's wide gather (tiles.table).
+    if not settings.occlusion:
+        w_pre = (op * rho)[:, None]
+    else:
+        if settings.occlusion_mode != "aggregate":
+            raise NotImplementedError(
+                "per_gaussian occlusion uses the dense backend"
+            )
+        w_pre = jnp.stack([op, op * rho], axis=-1)
 
     if settings.backend == "pallas_dsort":
         from nlos_gaussian_renderer_tpu.ops.fused_dsort import (
@@ -354,6 +364,7 @@ def field_response_pallas(
             scene.means, scene.scales, scene.alive, jnp.asarray(camera_pos),
             grid.theta, grid.phi, grid.r, spec, settings.scaling_modifier,
             layout=layout,
+            gw=jnp.concatenate([gfeat, w_pre], axis=1),
         )
 
         if settings.backend == "pallas_analytic":
@@ -392,15 +403,11 @@ def field_response_pallas(
         return x if gauss_axis is None else jax.lax.psum(x, gauss_axis)
 
     if not settings.occlusion:
-        field = run((op * rho)[:, None])
+        field = run(w_pre)
         return gsum(field[..., 0].reshape(-1)), overflow
 
     cdt = c * delta_t
-    if settings.occlusion_mode != "aggregate":
-        raise NotImplementedError(
-            "per_gaussian occlusion uses the dense backend"
-        )
-    field = run(jnp.stack([op, op * rho], axis=-1))
+    field = run(w_pre)
     both = gsum(field.reshape(num_r, ns2, 2))
     density, rho_density = both[..., 0], both[..., 1]
     if settings.rendering_type == "netf":

@@ -1558,12 +1558,27 @@ def wide_pad_gather(gw, geom, perm, src, inv_perm, n_diff):
     are exactly zero — the kernels mask every gradient component by the
     membership bit and padding rows carry word 0); geometry columns get
     no cotangent.
+
+    The padding-slot zeros come from ONE appended zero row + `mode="clip"`
+    takes, NOT `mode="fill"`: fill lowers to gather + compare + full-width
+    select — three extra streaming passes over the 128-lane-padded row
+    tables (~0.22 ms/step at 100k, trace: broadcast_select_fusion.{13,14,
+    15}). The `src` sentinel is exactly `g` (see `_layout_from_geometry`),
+    so it lands on the appended zero row; the row-append rides the concat
+    fusion that already materializes the table, and `perm2`'s extra entry
+    keeps the zero row at index g through the first gather. Only the WORD
+    column actually needs the zero (it gates padding slots out of the
+    kernels and the cull-finalize unions); the zero row gives the whole
+    row for free.
     """
+    g = gw.shape[0]
     full = jnp.concatenate([gw, geom], axis=1)
-    return jnp.take(
-        jnp.take(full, perm, axis=0), src, axis=0,
-        mode="fill", fill_value=0.0,
-    )
+    full = jnp.concatenate(
+        [full, jnp.zeros((1, full.shape[1]), full.dtype)], axis=0
+    )  # (g + 1, F), row g = 0
+    perm2 = jnp.concatenate([perm, jnp.full((1,), g, perm.dtype)])
+    inner = jnp.take(full, perm2, axis=0, mode="clip")
+    return jnp.take(inner, src, axis=0, mode="clip")
 
 
 def _wide_pad_gather_fwd(gw, geom, perm, src, inv_perm, n_diff):
@@ -1571,6 +1586,12 @@ def _wide_pad_gather_fwd(gw, geom, perm, src, inv_perm, n_diff):
 
 
 def _wide_pad_gather_bwd(n_diff, inv_perm, g):
+    # Culled rows (inv_perm == g_pad) and overflowed rows (> g_pad, the
+    # `missed` channel) take the OOB zero fill. `mode="fill"` is RIGHT
+    # here even though the forward uses the appended-zero-row clip trick:
+    # the cotangent arrives as a standalone buffer, so appending a zero
+    # row costs a full (G_pad, n_diff) copy — measured +0.1/+0.19 ms at
+    # 100k (bf16/exact backward) vs fill's gather+select.
     dgw = jnp.take(
         g[:, :n_diff], inv_perm, axis=0, mode="fill", fill_value=0.0
     )

@@ -557,6 +557,46 @@ class TestTakeRowsScatter:
         np.testing.assert_allclose(np.asarray(gu)[0], expected0, rtol=1e-6)
 
 
+    def test_wide_pad_gather_zero_row_semantics(self):
+        """The wide gather's padding zeros come from ONE appended zero row +
+        `mode="clip"` (fill lowers to 3 extra streaming select passes at
+        100k). Padding slots (src == g) must read exact zero rows; the
+        backward must route culled rows (inv_perm == g_pad) AND overflowed
+        rows (inv_perm > g_pad, the `missed` channel) to zero cotangent
+        while valid rows get the permuted cotangent exactly."""
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import (
+            wide_pad_gather,
+        )
+
+        rng = np.random.default_rng(7)
+        g, g_pad, n_gw = 5, 8, 3
+        gw = jnp.asarray(rng.normal(size=(g, n_gw)), jnp.float32)
+        geom = jnp.asarray(rng.normal(size=(g, 2)), jnp.float32)
+        perm = jnp.asarray([2, 0, 4, 1, 3], jnp.int32)
+        # slots: 3 valid sorted rows, sentinel g=5 padding, repeat, 2 pads
+        src = jnp.asarray([0, 1, 2, 5, 3, 5, 4, 5], jnp.int32)
+        # original row -> padded slot; row 1 culled (g_pad), row 3
+        # OVERFLOWED past g_pad (missed-layout channel).
+        inv_perm = jnp.asarray([1, 8, 0, 9, 2], jnp.int32)
+
+        out = wide_pad_gather(gw, geom, perm, src, inv_perm, n_gw)
+        full = np.concatenate([np.asarray(gw), np.asarray(geom)], axis=1)
+        expect = full[np.asarray(perm)][np.minimum(np.asarray(src), g - 1)]
+        expect[np.asarray(src) >= g] = 0.0
+        np.testing.assert_array_equal(np.asarray(out), expect)
+
+        go = jnp.asarray(rng.normal(size=out.shape), jnp.float32)
+        dgw = jax.vjp(
+            lambda w: wide_pad_gather(w, geom, perm, src, inv_perm, n_gw),
+            gw,
+        )[1](go)[0]
+        exp_g = np.zeros((g, n_gw), np.float32)
+        for row, slot in enumerate(np.asarray(inv_perm)):
+            if slot < g_pad:
+                exp_g[row] = np.asarray(go)[slot, :n_gw]
+        np.testing.assert_array_equal(np.asarray(dgw), exp_g)
+
+
 class TestGateLadderLaneAligned:
     """Lane-aligned specs (s_ang % 128 == 0) select the bl-anchored gate
     ladder (`fused_rsort._gate_ladder`): unaligned gate starts, clamped

@@ -733,6 +733,14 @@ def analytic_gaussian_field(
         n_extra = (
             table.shape[-1] - FDIM - channel_weights.shape[1] - n_words
         )
+        if n_extra != 3:
+            raise ValueError(
+                f"tiles.table width {table.shape[-1]} does not match "
+                f"[{FDIM} forms | {channel_weights.shape[1]} weights | "
+                f"{n_words} word | 3 geometry] — the gw given to rsort_cull "
+                "must be concat([gfeat, channel_weights], axis=1) with the "
+                "same channel count used at render time"
+            )
     else:
         gw = jnp.concatenate([gfeat, channel_weights], axis=1)
         gw_pad = pad_gather(gw, tiles.full_perm, tiles.inv_perm)

@@ -409,8 +409,11 @@ def _layout_from_geometry(
     # STATIC quantization range [0, d_hi]: d is only a sort key (block
     # tightness, never correctness), so the old min/max-of-d reduce — a
     # 100k-row pass plus a scalar->vector sync point — buys nothing over a
-    # fixed range. Rows beyond d_hi clip to the top code (they are out of
-    # the radial window and sort into the empty group anyway).
+    # fixed range. Rows with d > d_hi clip to the top code: they merely
+    # lose sort locality within their pattern group (a center past r[-1]
+    # can still have d - radius inside the window, so such rows stay
+    # valid and are rendered exactly — only their block's radial interval
+    # is looser).
     d_span = jnp.maximum(d_hi, 1e-6)
     dq = jnp.clip(
         (d / d_span * ((1 << dq_bits) - 1)).astype(jnp.int32),
@@ -684,6 +687,21 @@ def _cull_reduce_kernel(
         )
 
 
+def _ws_pack_fits(n_ch: int, t_chunk: int) -> bool:
+    """True when the Pallas builder's packed words fit in int32.
+
+    `_cull_reduce_kernel` packs (lo << ba | hi+1) absolute-bin ranges and
+    (lo_chunk << bj | hi_chunk+1) chunk ranges into single int32 words; huge
+    bin counts overflow the budget. Callers fall back to the XLA work-list
+    construction instead of erroring (the two produce identical lists —
+    parity-tested in tests/test_rsort.py).
+    """
+    total_bins = n_ch * t_chunk
+    ba = int(total_bins).bit_length()
+    bj_bits = int(n_ch).bit_length()
+    return 2 * ba <= 31 and 2 * bj_bits <= 31
+
+
 def _block_ranges_pallas(
     geom_pad, n_gw: int, kb: int, spec: RSortSpec, r,
     n_tt: int, n_pt: int, n_ch: int,
@@ -694,7 +712,9 @@ def _block_ranges_pallas(
     total_bins = n_ch * spec.t_chunk
     ba = int(total_bins).bit_length()
     bj_bits = int(n_ch).bit_length()
-    if 2 * ba > 31 or 2 * bj_bits > 31:
+    if not _ws_pack_fits(n_ch, spec.t_chunk):
+        # Callers route around this via _ws_pack_fits; keep the guard so a
+        # direct call can never silently corrupt the packed words.
         raise ValueError(f"bin count {total_bins} too large to pack")
     t_ang = n_tt * n_pt
     gt = spec.g_tile
@@ -840,7 +860,7 @@ def rsort_cull(
     missed = jnp.any(valid_g & (layout.inv_perm >= g_pad))
 
     kb = g_pad // spec.g_tile
-    if spec.ws_pallas:
+    if spec.ws_pallas and _ws_pack_fits(n_ch, spec.t_chunk):
         # Vector finalize kernel + serial builder: the per-(block, tile)
         # interval unions, bin-range conversion, and packing all happen in
         # `_cull_reduce_kernel`; XLA never materializes memb/blk_lo/blk_hi.
@@ -1728,9 +1748,22 @@ def rsort_gaussian_field(
     if tiles.table is not None:
         # The cull's wide-gather already produced the padded differentiable
         # table [forms | weights | word | 3 geometry cols] — the kernels
-        # DMA the 3 trailing columns along but never read them.
+        # DMA the 3 trailing columns along but never read them. The gfeat /
+        # channel_weights arguments are NOT re-read here: the gw passed to
+        # rsort_cull must equal concat([gfeat, channel_weights], axis=1),
+        # and the geometry tail is exactly 3 columns — assert the widths
+        # agree so a mismatched caller fails loudly instead of the kernel
+        # silently mis-slicing geometry columns as weights.
         table = tiles.table
         n_extra = table.shape[-1] - FDIM - channel_weights.shape[1] - n_words
+        if n_extra != 3:
+            raise ValueError(
+                f"tiles.table width {table.shape[-1]} does not match "
+                f"[{FDIM} forms | {channel_weights.shape[1]} weights | "
+                f"{n_words} word | 3 geometry] — the gw given to rsort_cull "
+                "must be concat([gfeat, channel_weights], axis=1) with the "
+                "same channel count used at render time"
+            )
     else:
         gw = jnp.concatenate([gfeat, channel_weights], axis=1)
         # ONE padded-layout gather (backward: ONE inverse gather — no

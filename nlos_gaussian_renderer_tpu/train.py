@@ -274,6 +274,7 @@ def make_scanned_train_step(
     donate: bool = True,
     ref_cam=None,
     layout_slack: float = 0.0,
+    densify_seed: Optional[int] = None,
 ) -> Callable:
     """Build a jitted K-step train chunk: one dispatch runs K sequential
     steps via lax.scan.
@@ -290,6 +291,17 @@ def make_scanned_train_step(
     `layout_slack` must cover the max distance from `ref_cam` to any scan
     point (plus parameter drift over one chunk — mm at Adam scale).
 
+    With `densify_seed` (and `optim.mcmc_densification_flag`), the MCMC
+    densification hook (reference `main.py:243-247`) runs IN-GRAPH: after
+    each scanned update, a `lax.cond` on the post-update step counter fires
+    `densify_step` exactly when the per-step path would (the scene has
+    FIXED capacity + an alive mask, so densification is fixed-shape and
+    scan-safe). Keys derive from `fold_in(PRNGKey(densify_seed), step)` —
+    identical to `fit`'s per-step path, so chunked and per-step densified
+    runs are bit-identical. Capacity re-tunes stay host-side: `fit` checks
+    chunk-spanned densify events at chunk boundaries, and the overflow gate
+    replays any chunk whose mid-chunk growth saturated the caps.
+
     Signature: step_k(state, cams (K, B, 3), targets (K, B, num_r),
                       box_points, c, delta_t, volume_position)
                -> (state, StepAux) with loss/equal_loss/pred_hist/target_hist
@@ -301,6 +313,7 @@ def make_scanned_train_step(
     use_layout = ref_cam is not None and settings.backend in (
         "pallas_rsort", "pallas_analytic"
     )
+    densify = densify_seed is not None and optim.mcmc_densification_flag
 
     def multi(state, cams_k, targets_k, box_points, c, delta_t,
               volume_position):
@@ -329,6 +342,35 @@ def make_scanned_train_step(
                 st, cams, tgts, box_points, c, delta_t, volume_position,
                 layout=layout,
             )
+            if densify:
+                from nlos_gaussian_renderer_tpu.models.densify import (
+                    densify_step,
+                )
+
+                # Post-update step counter == the per-step path's
+                # `cur = it + 2` (step starts at 1; see fit).
+                cur = st2.step
+                do = jnp.logical_and(
+                    cur % optim.densification_interval == 0,
+                    jnp.logical_and(
+                        cur > optim.densify_from_iter,
+                        cur < optim.densify_until_iter,
+                    ),
+                )
+
+                def dfn(s):
+                    sub = jax.random.fold_in(
+                        jax.random.PRNGKey(densify_seed), s.step
+                    )
+                    scene2, opt2 = densify_step(
+                        s.scene, s.opt_state, sub, cap_max=optim.cap_max
+                    )
+                    return TrainState(
+                        scene=scene2, opt_state=opt2, step=s.step,
+                        active_sh_degree=s.active_sh_degree,
+                    )
+
+                st2 = jax.lax.cond(do, dfn, lambda s: s, st2)
             return st2, aux
 
         state, auxs = jax.lax.scan(body, state, (cams_k, targets_k))
@@ -626,6 +668,7 @@ def fit(
                 step_chunk_fn = make_scanned_train_step(
                     settings, optim, tx, cfg.sh_degree, seed=cfg.rng,
                     donate=False, ref_cam=ref_cam, layout_slack=layout_slack,
+                    densify_seed=chunk_densify_seed,
                 )
             retunes += 1
             if settings.backend in ("pallas_rsort", "pallas_analytic",
@@ -650,15 +693,63 @@ def fit(
 
     stream = scan_point_stream(rng, m, n, cfg.batch_size)
     losses, eqs = [], []
-    densify_key = jax.random.PRNGKey(cfg.rng + 1)
+    # Densify keys derive from (base seed, post-update step counter) — a
+    # pure function of the iteration, so the per-step path, the in-scan
+    # chunked path, and every overflow replay all draw the identical key.
+    densify_base = jax.random.PRNGKey(cfg.rng + 1)
 
-    def run_gated(chunked, st, *args, what=""):
+    def densify_fires(cur: int) -> bool:
+        """True when the per-step hook densifies at post-update counter
+        `cur` (= 0-based loop index + 2; reference `main.py:243-247`)."""
+        return (
+            optim.mcmc_densification_flag
+            and optim.densify_from_iter < cur < optim.densify_until_iter
+            and cur % optim.densification_interval == 0
+        )
+
+    def force_grow_caps(state) -> bool:
+        """Escalation when a re-tune fitted to the pre-chunk scene cannot
+        cover mid-chunk densification growth: grow the block-sparse caps
+        25% beyond the fit and rebuild. Returns False for backends without
+        static caps."""
+        nonlocal settings, step_fn, step_chunk_fn, retunes
+        if settings.backend not in ("pallas_rsort", "pallas_analytic",
+                                    "pallas_dsort"):
+            return False
+        caps = settings.rsort_spec
+        settings = settings._replace(
+            rsort_spec=caps._replace(
+                max_groups=int(caps.max_groups * 1.25) + 1,
+                w_max=int(caps.w_max * 1.25) + 1,
+            )
+        )
+        step_fn = make_train_step(
+            settings, optim, tx, cfg.sh_degree, seed=cfg.rng, donate=False
+        )
+        if step_chunk_fn is not None:
+            step_chunk_fn = make_scanned_train_step(
+                settings, optim, tx, cfg.sh_degree, seed=cfg.rng,
+                donate=False, ref_cam=ref_cam, layout_slack=layout_slack,
+                densify_seed=chunk_densify_seed,
+            )
+        retunes += 1
+        print(
+            "culling capacities force-grown past the fit: "
+            f"max_groups={settings.rsort_spec.max_groups} "
+            f"w_max={settings.rsort_spec.w_max}"
+        )
+        return True
+
+    def run_gated(chunked, st, *args, what="", may_densify=False):
         """One step/chunk with the overflow gate: on a saturated culling
         capacity, re-tune and re-run from the (still live, non-donated)
         input state so no truncated gradient reaches the optimizer.
 
         `chunked` selects the CURRENT step builder by name (retune rebuilds
-        both nonlocals; a captured function object would go stale)."""
+        both nonlocals; a captured function object would go stale).
+        `may_densify`: the chunk densifies in-graph, so a fit against the
+        pre-chunk scene may still under-cap the grown population — escalate
+        with a forced cap growth instead of giving up."""
         nonlocal overflow_detected
         st2, aux = (step_chunk_fn if chunked else step_fn)(st, *args)
         for _ in range(4):
@@ -668,7 +759,7 @@ def fit(
                 f"WARNING: culling capacity overflow in {what} — re-tuning "
                 "caps and re-running from the pre-overflow state"
             )
-            if not retune(st):
+            if not retune(st) and not (may_densify and force_grow_caps(st)):
                 # Caps at the fitted maximum and still overflowing: keep the
                 # (superset-capped) result and record the failure.
                 overflow_detected = True
@@ -688,11 +779,22 @@ def fit(
             _math.gcd(log_every, callback_every) if callback_every else 0
         )
     chunk = 1
-    if cadence and not optim.mcmc_densification_flag:
+    # Densified training rides the fast path too (VERDICT r3 #4): the
+    # densify hook runs in-graph inside the scanned chunk (see
+    # make_scanned_train_step), so no boundary alignment is needed. The one
+    # exclusion is frozen_layout + densify: a mid-chunk relocation
+    # teleports Gaussians past the layout slack, and the chunk-entry layout
+    # can never be rebuilt mid-scan — the per-step path re-freezes after
+    # each densify instead.
+    densify_chunk_ok = not (optim.mcmc_densification_flag and cfg.frozen_layout)
+    if cadence and densify_chunk_ok:
         for cand in (50, 25, 20, 10, 5, 4, 2):
             if cadence % cand == 0 and num_iters >= cand:
                 chunk = cand
                 break
+    chunk_densify_seed = (
+        cfg.rng + 1 if optim.mcmc_densification_flag and chunk > 1 else None
+    )
 
     def fire_callback(it_end, st, aux_last):
         if callback is None:
@@ -708,11 +810,19 @@ def fit(
         step_chunk_fn = make_scanned_train_step(
             settings, optim, tx, cfg.sh_degree, seed=cfg.rng, donate=False,
             ref_cam=ref_cam, layout_slack=layout_slack,
+            densify_seed=chunk_densify_seed,
         )
         t0 = time.time()
         it = 0
         while it < num_iters:
             k = chunk if it + chunk <= num_iters else 1
+            # Does a densify event fire inside [it, it + k)? (post-update
+            # counters it+2 .. it+k+1). In-graph for k > 1; host-side for
+            # the k == 1 tail below. Either way the caps are re-fitted to
+            # the grown population right after.
+            densified = [
+                j for j in range(it, it + k) if densify_fires(j + 2)
+            ]
             if k > 1:
                 idx = jnp.asarray(
                     np.stack([next(stream) for _ in range(k)])
@@ -721,12 +831,15 @@ def fit(
                 state, auxs = run_gated(
                     True, state, cams, targets, box_points, data.c,
                     data.deltaT, vol_pos, what=f"chunk ending at iter {it + k}",
+                    may_densify=bool(densified),
                 )
                 aux = StepAux(
                     loss=auxs.loss[-1], equal_loss=auxs.equal_loss[-1],
                     pred_hist=auxs.pred_hist[-1],
                     target_hist=auxs.target_hist[-1], overflow=auxs.overflow,
                 )
+                if densified:
+                    retune(state)
             else:
                 idx = jnp.asarray(next(stream))
                 cams, targets = gather_batch(idx)
@@ -734,6 +847,21 @@ def fit(
                     False, state, cams, targets, box_points, data.c,
                     data.deltaT, vol_pos, what=f"iter {it + 1}",
                 )
+                if densified:
+                    from nlos_gaussian_renderer_tpu.models.densify import (
+                        densify_step,
+                    )
+
+                    sub = jax.random.fold_in(densify_base, it + 2)
+                    scene2, opt2 = densify_step(
+                        state.scene, state.opt_state, sub,
+                        cap_max=optim.cap_max,
+                    )
+                    state = TrainState(
+                        scene=scene2, opt_state=opt2, step=state.step,
+                        active_sh_degree=state.active_sh_degree,
+                    )
+                    retune(state)
             it += k
             if it % log_every == 0 or it == num_iters:
                 losses.append(float(aux.loss))
@@ -769,13 +897,10 @@ def fit(
         # MCMC densification hook (reference `main.py:243-247`).
         if optim.mcmc_densification_flag:
             cur = it + 2  # state.step after the update, avoids device sync
-            if (
-                optim.densify_from_iter < cur < optim.densify_until_iter
-                and cur % optim.densification_interval == 0
-            ):
+            if densify_fires(cur):
                 from nlos_gaussian_renderer_tpu.models.densify import densify_step
 
-                densify_key, sub = jax.random.split(densify_key)
+                sub = jax.random.fold_in(densify_base, cur)
                 scene2, opt2 = densify_step(
                     state.scene, state.opt_state, sub, cap_max=optim.cap_max
                 )

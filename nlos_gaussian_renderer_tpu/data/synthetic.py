@@ -130,7 +130,22 @@ def make_synthetic_dataset(
             )
         )
     )
-    hists = np.asarray(render(jnp.asarray(cam_grid.T)))  # (MN, num_r)
+    # Chunk the scan points: the dense GT render materializes an
+    # (ns^2 * num_r, N_gt) matrix per camera, so a 256x256 scan grid vmapped
+    # whole would need tens of GB. 256 cams/dispatch keeps it ~1 GB while
+    # still feeding the MXU full batches; the pad rides the last chunk.
+    cams_all = np.asarray(cam_grid.T, dtype=np.float32)  # (MN, 3)
+    mn = cams_all.shape[0]
+    cam_chunk = min(256, mn)
+    pad = (-mn) % cam_chunk
+    cams_pad = np.concatenate([cams_all, cams_all[:1].repeat(pad, 0)], 0)
+    hists = np.concatenate(
+        [
+            np.asarray(render(jnp.asarray(cams_pad[i : i + cam_chunk])))
+            for i in range(0, mn + pad, cam_chunk)
+        ],
+        axis=0,
+    )[:mn]  # (MN, num_r)
 
     nlos = np.zeros((num_bins, scan_m, scan_n), dtype=np.float32)
     nlos[start:end] = hists.T.reshape(end - start, scan_m, scan_n)

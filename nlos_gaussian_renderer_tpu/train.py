@@ -442,6 +442,22 @@ def probe_scan_points(data: NLOSData) -> np.ndarray:
     return grid[sorted(set(ids))]
 
 
+def _cap_bucket(v: int) -> int:
+    """Round a capacity up to the next quarter-power-of-2 step.
+
+    Steps are multiples of 2^(k-2) within each octave [2^k, 2^(k+1)), i.e.
+    x1.0 / x1.25 / x1.5 / x1.75 — so repeated re-fits of a slowly growing
+    population land on the same value until it really outgrows the bucket.
+    Small caps (<= 64) pass through exactly (their compiles are cheap and
+    tests rely on tight values).
+    """
+    v = int(v)
+    if v <= 64:
+        return v
+    step = 1 << max((v - 1).bit_length() - 2, 0)
+    return -(-v // step) * step
+
+
 def fit_culling_capacity(
     settings: RenderSettings,
     scene: GaussianScene,
@@ -490,9 +506,15 @@ def fit_culling_capacity(
             ref_cam=ref_cam, slack=layout_slack,
         )
         if grow_only:
+            # Quantize runtime growth to quarter-power-of-2 buckets: every
+            # changed cap is a NEW compiled program, and a densifying run
+            # grows the population ~5% per event — unbucketed caps would
+            # recompile at nearly every densification (hundreds over a 50k
+            # run). Buckets cap the overshoot at ~25% (on top of tune's
+            # headroom) and make recompiles logarithmic in total growth.
             new = cur._replace(
-                max_groups=max(cur.max_groups, fitted.max_groups),
-                w_max=max(cur.w_max, fitted.w_max),
+                max_groups=max(cur.max_groups, _cap_bucket(fitted.max_groups)),
+                w_max=max(cur.w_max, _cap_bucket(fitted.w_max)),
             )
         else:
             new = fitted

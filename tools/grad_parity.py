@@ -294,6 +294,21 @@ def main():
             spec3._replace(bwd_p_bf16=True), grads_dense,
             "bf16 single-pass backward, sigma_cull=3 (opt-in)"
         )
+    if "masked" in want:
+        out["rows"]["exact_masked_sigma3"] = measure(
+            spec3._replace(mask_dead_blocks=True), grads_dense,
+            "exact bf16x3 + mask_dead_blocks (dead-block garbage probe)"
+        )
+    if "xlaws" in want:
+        out["rows"]["exact_xlaws_sigma3"] = measure(
+            spec3._replace(ws_pallas=False), grads_dense,
+            "exact bf16x3 + XLA work-list builder (builder probe)"
+        )
+    if "nogate" in want:
+        out["rows"]["exact_nogate_sigma3"] = measure(
+            spec3._replace(gate_bins=spec3.t_chunk), grads_dense,
+            "exact bf16x3 + single gate (gate-ladder probe)"
+        )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

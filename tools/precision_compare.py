@@ -9,6 +9,13 @@ kernel precision, compared on loss curves and final parameters.
 
 Writes docs/precision_bf16_vs_exact.json with both loss curves and summary
 statistics. Run on the TPU:  python tools/precision_compare.py
+
+Multi-seed (VERDICT r3 #8): `--seeds 1,2,3` repeats the PAIRED comparison
+under independent scan-point streams (the SGD noise realization) while
+keeping the same init and GT. Each seed yields a paired tail-loss gap
+(exact vs bf16 under an identical stream); the across-seed spread of the
+exact runs' tail means is the honest yardstick for "inside SGD noise".
+All seeds share one compile (same shapes).
 """
 
 from __future__ import annotations
@@ -37,8 +44,12 @@ def main():
     ap.add_argument("--scan-chunk", type=int, default=10)
     ap.add_argument("--t-chunk", type=int, default=64)
     ap.add_argument("--gate-bins", type=int, default=8)
+    ap.add_argument("--seeds", default="1,2,3",
+                    help="comma list of scan-stream seeds (paired runs per "
+                         "seed; one compile shared by all)")
     ap.add_argument("--out", default="docs/precision_bf16_vs_exact.json")
     args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
 
     import jax
 
@@ -124,7 +135,7 @@ def main():
     k = args.scan_chunk
     n_scan = cam_grid.shape[0]
 
-    def run(bwd_bf16: bool):
+    def run(bwd_bf16: bool, stream_seed: int):
         s = RenderSettings(
             num_sampling_points=32, start=100, end=300,
             backend="pallas_rsort",
@@ -134,8 +145,8 @@ def main():
         state = create_train_state(
             jax.tree.map(jnp.copy, scene0), tx
         )
-        # Deterministic scan stream shared by both runs.
-        srng = np.random.default_rng(1)
+        # Deterministic scan stream shared by the paired exact/bf16 runs.
+        srng = np.random.default_rng(stream_seed)
         t0 = time.time()
         losses = []
         tj = jnp.asarray(targets)
@@ -146,45 +157,77 @@ def main():
             state, auxs = step_k(state, cams, tgt, box, c, delta_t, vol)
             losses.extend(np.asarray(auxs.loss).tolist())
         jax.block_until_ready(state.scene.means)
-        log(f"{'bf16' if bwd_bf16 else 'exact'}: {time.time()-t0:.1f}s, "
-            f"final loss {losses[-1]:.6f}")
+        log(f"seed {stream_seed} {'bf16' if bwd_bf16 else 'exact'}: "
+            f"{time.time()-t0:.1f}s, final loss {losses[-1]:.6f}")
         return np.asarray(losses), state
 
-    losses_exact, st_exact = run(False)
-    losses_bf16, st_bf16 = run(True)
+    tail = slice(max(0, args.iters - max(200, args.iters // 10)), None)
+    per_seed = []
+    curves = {}
+    first_pair = None
+    for seed in seeds:
+        losses_exact, st_exact = run(False, seed)
+        losses_bf16, st_bf16 = run(True, seed)
+        if first_pair is None:
+            first_pair = (losses_exact, losses_bf16)
+        d_means = float(
+            jnp.linalg.norm(st_bf16.scene.means - st_exact.scene.means)
+        )
+        moved = float(jnp.linalg.norm(st_exact.scene.means - scene0.means))
+        row = {
+            "seed": seed,
+            "final_loss_exact": float(losses_exact[-1]),
+            "final_loss_bf16": float(losses_bf16[-1]),
+            "tail_mean_loss_exact": float(losses_exact[tail].mean()),
+            "tail_mean_loss_bf16": float(losses_bf16[tail].mean()),
+            "tail_std_loss_exact": float(losses_exact[tail].std()),
+            "tail_gap": float(
+                abs(losses_bf16[tail].mean() - losses_exact[tail].mean())
+            ),
+            "tail_rel_gap": float(
+                abs(losses_bf16[tail].mean() - losses_exact[tail].mean())
+                / max(losses_exact[tail].mean(), 1e-30)
+            ),
+            "final_means_l2_gap": d_means,
+            "means_l2_moved_from_init": moved,
+        }
+        per_seed.append(row)
+        curves[str(seed)] = {
+            "exact": losses_exact.tolist(),
+            "bf16": losses_bf16.tolist(),
+        }
+    losses_exact, losses_bf16 = first_pair
 
-    # Final-parameter distance between the two runs, scaled by the update
-    # magnitude accumulated from init (how far training moved at all).
-    d_means = float(
-        jnp.linalg.norm(st_bf16.scene.means - st_exact.scene.means)
-    )
-    moved = float(jnp.linalg.norm(st_exact.scene.means - scene0.means))
-    tail = slice(max(0, args.iters - 200), None)
+    tails_exact = [r["tail_mean_loss_exact"] for r in per_seed]
+    seed_spread = float(np.std(tails_exact)) if len(per_seed) > 1 else None
+    max_gap = max(r["tail_gap"] for r in per_seed)
     summary = {
         "iters": args.iters,
         "gaussians": args.gaussians,
-        "final_loss_exact": float(losses_exact[-1]),
-        "final_loss_bf16": float(losses_bf16[-1]),
-        "tail_mean_loss_exact": float(losses_exact[tail].mean()),
-        "tail_mean_loss_bf16": float(losses_bf16[tail].mean()),
-        "tail_std_loss_exact": float(losses_exact[tail].std()),
-        "tail_rel_gap": float(
-            abs(losses_bf16[tail].mean() - losses_exact[tail].mean())
-            / max(losses_exact[tail].mean(), 1e-30)
+        "seeds": seeds,
+        "tail_window": int(max(200, args.iters // 10)),
+        "max_tail_gap": max_gap,
+        "mean_tail_gap": float(np.mean([r["tail_gap"] for r in per_seed])),
+        "across_seed_std_of_exact_tail_means": seed_spread,
+        "within_run_tail_std_exact_min": float(
+            min(r["tail_std_loss_exact"] for r in per_seed)
         ),
-        "final_means_l2_gap": d_means,
-        "means_l2_moved_from_init": moved,
+        "per_seed": per_seed,
     }
     # Decision rule (committed with the artifact): the bf16 backward is
-    # "inside SGD noise" iff the tail-loss gap is smaller than the
-    # within-run tail standard deviation.
-    summary["bf16_inside_sgd_noise"] = bool(
-        abs(summary["tail_mean_loss_bf16"] - summary["tail_mean_loss_exact"])
-        < summary["tail_std_loss_exact"]
+    # "inside SGD noise" iff every seed's paired tail-loss gap is smaller
+    # than BOTH the within-run tail std and (when >1 seed) the across-seed
+    # spread of the exact runs' tail means.
+    ok_within = all(
+        r["tail_gap"] < r["tail_std_loss_exact"] for r in per_seed
     )
+    ok_across = seed_spread is None or max_gap < max(seed_spread, 1e-30) * 3
+    summary["bf16_inside_sgd_noise"] = bool(ok_within and ok_across)
     log(json.dumps(summary, indent=2))
     out = {
         "summary": summary,
+        "loss_curves_by_seed": curves,
+        # Back-compat keys (first seed's pair).
         "loss_curve_exact": losses_exact.tolist(),
         "loss_curve_bf16": losses_bf16.tolist(),
     }

@@ -60,6 +60,14 @@ def main():
     ap.add_argument("--end", type=int, default=300)
     ap.add_argument("--rows", default="sigma3,sigma5,bf16",
                     help="comma list of rows to measure")
+    ap.add_argument("--gate-bins", type=int, default=8)
+    ap.add_argument("--t-chunk", type=int, default=0,
+                    help="0 = single chunk covering all bins")
+    ap.add_argument("--fd", action="store_true",
+                    help="directional finite-difference arbitration: for "
+                         "each parameter group, compare <g, v> for a random "
+                         "unit direction v against central differences of "
+                         "BOTH the dense and the rsort forward")
     ap.add_argument("--out", default="docs/grad_parity_100k.json")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (interpret-mode kernels) — bisection "
@@ -235,8 +243,8 @@ def main():
     # Tune caps once at sigma_cull=3 (bench default); retune for the
     # truncation-isolation row.
     t0 = time.time()
-    gate_bins = 8
-    t_chunk = -(-num_r // gate_bins) * gate_bins
+    gate_bins = args.gate_bins
+    t_chunk = args.t_chunk or -(-num_r // gate_bins) * gate_bins
     base = RSortSpec(t_chunk=t_chunk, gate_bins=gate_bins)
     spec3 = tune_rsort_spec(
         scene, probe_cams, box, ns, start, end, c, delta_t, base=base
@@ -261,6 +269,50 @@ def main():
     hists_dense = [np.asarray(h) for _, h in gd_pairs]
     log(f"chunked-dense ground truth done in {time.time()-t0:.0f}s "
         f"(chunk={args.chunk})")
+
+    if args.fd:
+        # Directional-derivative arbitration. Both forwards agree in value;
+        # if FD of BOTH forwards matches one analytic gradient and not the
+        # other, the other backward is wrong.
+        settings3 = rsort_settings(spec3)
+        ldense = jax.jit(lambda sc, cam: loss_dense_chunked(sc, cam)[0])
+        lrsort = jax.jit(
+            lambda sc, cam, st: loss_rsort(sc, cam, st)[0],
+            static_argnames=("st",),
+        )
+        gfn3 = jax.jit(
+            jax.grad(loss_rsort, has_aux=True), static_argnames=("settings",)
+        )
+        cam = jnp.asarray(probe_cams[1])
+        gd = grads_dense[1]
+        gr, _ = gfn3(scene, cam, settings3)
+        log(f"[fd] L_dense={float(ldense(scene, cam)):.8e} "
+            f"L_rsort={float(lrsort(scene, cam, settings3)):.8e}")
+        for name in GROUPS:
+            x = np.asarray(getattr(scene, name))
+            a = np.asarray(getattr(gr, name), np.float64)
+            b = np.asarray(getattr(gd, name), np.float64)
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            log(f"[fd:{name}] ||g_dense||={nb:.4e} ||g_rsort||={na:.4e} "
+                f"cos={float((a*b).sum()/(na*nb+1e-30)):+.4f}")
+            # FD along each analytic gradient direction, through the smooth
+            # dense forward. The true directional derivative along v-hat is
+            # <g_true, v-hat>; if dense is right, FD along g_dense-hat ==
+            # ||g_dense|| and FD along g_rsort-hat == <g_dense, g_rsort-hat>.
+            for tag, g in (("gdense", b), ("grsort", a)):
+                v = (g / (np.linalg.norm(g) + 1e-30)).astype(np.float32)
+                pred_d = float((b * v).sum())
+                pred_r = float((a * v).sum())
+                for eps in (3e-3, 1e-3):
+                    def ev(sign):
+                        sc2 = dc.replace(
+                            scene, **{name: jnp.asarray(x + sign * eps * v)}
+                        )
+                        return float(ldense(sc2, cam))
+                    fd = (ev(+1.0) - ev(-1.0)) / (2 * eps)
+                    log(f"[fd:{name}] dir={tag} eps={eps:.0e} "
+                        f"fd_dense={fd:+.6e} pred_dense={pred_d:+.6e} "
+                        f"pred_rsort={pred_r:+.6e}")
 
     out = {
         "scene": {

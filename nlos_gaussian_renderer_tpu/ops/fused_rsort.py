@@ -1063,6 +1063,12 @@ def _center_transform_t(dgp, x0, y0, z0):
 
 
 def _split_hi_lo(x):
+    """bf16 hi/lo split — MOSAIC-KERNEL-ONLY.
+
+    Mosaic lowers the convert pair faithfully. In XLA-land the same
+    pattern is folded to identity under `allow_excess_precision` (lo
+    becomes exactly zero under jit) — use an `optimization_barrier`ed
+    split there instead (see `xfeat_slab`)."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, lo
@@ -1180,8 +1186,16 @@ def xfeat_slab(xfeat):
     against [x_hi; x_hi; x_lo]; storing the slab pre-duplicated removes the
     per-gate 30-row concatenate from BOTH kernels (a VPU copy per gate) at
     the cost of 1.5x the window DMA (640 KB -> 960 KB per backward item —
-    double-buffered behind compute). Samples ride LANES (see rsort_field)."""
-    x_hi = xfeat.astype(jnp.bfloat16)
+    double-buffered behind compute). Samples ride LANES (see rsort_field).
+
+    The hi value is pinned behind `lax.optimization_barrier`: this split
+    runs in XLA-land (unlike `_split_hi_lo`, whose callers are all inside
+    Mosaic kernels), and XLA's default `allow_excess_precision` folds the
+    f32->bf16->f32 round-trip under jit, silently zeroing x_lo — the exact
+    bf16x3 path would degrade to single-bf16 Mahalanobis precision. Eager
+    execution materializes each op, which is why the corruption was
+    jit-only (diagnosed round 5; see docs/grad_parity_100k.json history)."""
+    x_hi = jax.lax.optimization_barrier(xfeat.astype(jnp.bfloat16))
     x_lo = (xfeat - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     return jnp.concatenate([x_hi, x_hi, x_lo], axis=-1).transpose(0, 2, 1)
 

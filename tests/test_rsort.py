@@ -750,3 +750,52 @@ class TestWorkListBuilder:
                     np.asarray(getattr(tp, f))[b, :n],
                     np.asarray(getattr(tx, f))[b, :n], err_msg=f,
                 )
+
+
+class TestHiLoSplitSurvivesJit:
+    """Round-5 regression: XLA's default `allow_excess_precision` folds the
+    f32->bf16->f32 round-trip of a Dekker-style split under jit, zeroing the
+    lo half — which silently degraded the "exact bf16x3" Mahalanobis to
+    single-bf16 precision on every JITTED hardware step while eager probes
+    (and the dense reference) stayed exact. `xfeat_slab` pins the hi value
+    behind `lax.optimization_barrier`; this test locks the contract on every
+    backend XLA (CPU included — the fold reproduces there too)."""
+
+    def test_xfeat_slab_lo_half_nonzero_and_exact_under_jit(self):
+        from nlos_gaussian_renderer_tpu.ops.fused_rsort import xfeat_slab
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.random((3, 64, 10)).astype(np.float32) * 3.7)
+        slab = np.asarray(jax.jit(xfeat_slab)(x), np.float32)
+        # (T, 3*FDIM, S): rows [0:10] hi, [10:20] hi again, [20:30] lo.
+        hi = slab[:, 0:10, :]
+        lo = slab[:, 20:30, :]
+        xt = np.asarray(x, np.float32).transpose(0, 2, 1)
+        # hi must be the ROUNDED bf16 value (not a folded f32 passthrough)
+        # and hi + lo must reconstruct x to bf16(residual) accuracy.
+        assert np.abs(lo).max() > 0.0, (
+            "lo half is exactly zero: the excess-precision fold is back"
+        )
+        # lo must be EXACTLY the bf16 rounding of the true residual x - hi
+        # (both halves bf16): bitwise equality, no tolerance.
+        import ml_dtypes
+
+        exact_lo = (xt - hi).astype(ml_dtypes.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(lo, exact_lo)
+        # And hi + lo reconstructs x to the lo half's own rounding (~2^-9
+        # of the residual, i.e. ~2^-17 of x).
+        np.testing.assert_allclose(hi + lo, xt, rtol=0, atol=4e-5)
+
+    def test_unprotected_split_folds_under_jit_documenting_hazard(self):
+        # Documents WHY the barrier exists: the naive pattern really does
+        # fold to zero under jit on this XLA build. If this ever starts
+        # failing (fold removed upstream), the barrier is still harmless.
+        def naive(x):
+            h = x.astype(jnp.bfloat16)
+            return (x - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        x = jnp.asarray(
+            np.random.default_rng(3).random((32,)).astype(np.float32) * 3.7
+        )
+        eager_lo = np.abs(np.asarray(naive(x), np.float32)).max()
+        assert eager_lo > 0.0

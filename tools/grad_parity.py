@@ -65,9 +65,10 @@ def main():
                     help="0 = single chunk covering all bins")
     ap.add_argument("--fd", action="store_true",
                     help="directional finite-difference arbitration: for "
-                         "each parameter group, compare <g, v> for a random "
-                         "unit direction v against central differences of "
-                         "BOTH the dense and the rsort forward")
+                         "each parameter group, probe along the two analytic "
+                         "gradient directions (g_dense-hat and g_rsort-hat) "
+                         "with central differences of BOTH the dense and the "
+                         "rsort forward, plus an eps=0 noise-floor estimate")
     ap.add_argument("--out", default="docs/grad_parity_100k.json")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (interpret-mode kernels) — bisection "
@@ -280,6 +281,10 @@ def main():
             lambda sc, cam, st: loss_rsort(sc, cam, st)[0],
             static_argnames=("st",),
         )
+        lrsort_ovf = jax.jit(
+            lambda sc, cam, st: loss_rsort(sc, cam, st),
+            static_argnames=("st",),
+        )
         gfn3 = jax.jit(
             jax.grad(loss_rsort, has_aux=True), static_argnames=("settings",)
         )
@@ -295,24 +300,42 @@ def main():
             na, nb = np.linalg.norm(a), np.linalg.norm(b)
             log(f"[fd:{name}] ||g_dense||={nb:.4e} ||g_rsort||={na:.4e} "
                 f"cos={float((a*b).sum()/(na*nb+1e-30)):+.4f}")
-            # FD along each analytic gradient direction, through the smooth
-            # dense forward. The true directional derivative along v-hat is
+            # FD along each analytic gradient direction, through BOTH
+            # forwards. The true directional derivative along v-hat is
             # <g_true, v-hat>; if dense is right, FD along g_dense-hat ==
             # ||g_dense|| and FD along g_rsort-hat == <g_dense, g_rsort-hat>.
+            # Probing the rsort forward too distinguishes "rsort backward
+            # wrong" from "rsort forward is a different (gated/truncated)
+            # function whose gradient is correct".
             for tag, g in (("gdense", b), ("grsort", a)):
                 v = (g / (np.linalg.norm(g) + 1e-30)).astype(np.float32)
                 pred_d = float((b * v).sum())
                 pred_r = float((a * v).sum())
+                # eps=0 noise floor: f32 forward scatter at the base point.
+                def ev_pair(sign, eps):
+                    sc2 = dc.replace(
+                        scene, **{name: jnp.asarray(x + sign * eps * v)}
+                    )
+                    ld = float(ldense(sc2, cam))
+                    hr, ovf = lrsort_ovf(sc2, cam, settings3)
+                    if bool(ovf):
+                        log(f"[fd:{name}] WARNING: culling overflow at "
+                            f"perturbed point (dir={tag} eps={eps:.0e} "
+                            f"sign={sign:+.0f}) — rsort FD row is truncated")
+                    return ld, float(hr)
+                l0d_a, l0r_a = ev_pair(+1.0, 0.0)
+                l0d_b, l0r_b = ev_pair(-1.0, 0.0)
+                log(f"[fd:{name}] dir={tag} noise floor: "
+                    f"dense={abs(l0d_a-l0d_b):.3e} "
+                    f"rsort={abs(l0r_a-l0r_b):.3e} (|L(+0)-L(-0)|)")
                 for eps in (3e-3, 1e-3):
-                    def ev(sign):
-                        sc2 = dc.replace(
-                            scene, **{name: jnp.asarray(x + sign * eps * v)}
-                        )
-                        return float(ldense(sc2, cam))
-                    fd = (ev(+1.0) - ev(-1.0)) / (2 * eps)
+                    lpd, lpr = ev_pair(+1.0, eps)
+                    lmd, lmr = ev_pair(-1.0, eps)
+                    fd_d = (lpd - lmd) / (2 * eps)
+                    fd_r = (lpr - lmr) / (2 * eps)
                     log(f"[fd:{name}] dir={tag} eps={eps:.0e} "
-                        f"fd_dense={fd:+.6e} pred_dense={pred_d:+.6e} "
-                        f"pred_rsort={pred_r:+.6e}")
+                        f"fd_dense={fd_d:+.6e} fd_rsort={fd_r:+.6e} "
+                        f"pred_dense={pred_d:+.6e} pred_rsort={pred_r:+.6e}")
 
     out = {
         "scene": {

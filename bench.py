@@ -219,18 +219,7 @@ def main():
         settings = settings._replace(rsort_spec=spec)
     optim = OptimizationParams()
     tx = make_optimizer(optim)
-    state = create_train_state(scene, tx)
     k = max(args.scan_chunk, 1)
-    if k > 1:
-        from nlos_gaussian_renderer_tpu.train import make_scanned_train_step
-
-        step_k = make_scanned_train_step(
-            settings, optim, tx, max_sh_degree=0,
-            ref_cam=ref_cam if args.frozen_layout else None,
-            layout_slack=layout_slack,
-        )
-    else:
-        step = make_train_step(settings, optim, tx, max_sh_degree=0)
 
     # 256^2 scan grid; one (batch of) scan point(s) per iteration like the
     # reference training loop.
@@ -245,50 +234,86 @@ def main():
     iters = n_chunks * k
     idx = rng.integers(0, cam_grid.shape[0], size=(k + iters, args.batch))
 
-    log("compiling + warmup ...")
-    t0 = time.time()
-    if k > 1:
-        state, auxs = step_k(
-            state, cam_grid[idx[:k]], jnp.broadcast_to(
-                targets, (k,) + targets.shape
-            ), box, c, delta_t, vol,
-        )
-        last_loss = auxs.loss[-1]
-    else:
-        for i in range(k):
-            state, aux = step(
-                state, cam_grid[idx[i]], targets, box, c, delta_t, vol
-            )
-        last_loss = aux.loss
-    jax.block_until_ready(state.scene.means)
-    log(f"warmup done in {time.time()-t0:.1f}s; loss={float(last_loss):.6f}")
-
     import contextlib
 
-    trace_ctx = (
-        jax.profiler.trace(args.trace) if args.trace
-        else contextlib.nullcontext()
-    )
-    t0 = time.time()
-    with trace_ctx:
+    def time_variant(v_settings, tag, trace_dir=None):
+        """Compile + warmup + time the train step for one settings variant.
+        Returns ms/iter. Fresh state per variant (the scanned step donates)."""
+        state = create_train_state(scene, tx)
         if k > 1:
-            tk = jnp.broadcast_to(targets, (k,) + targets.shape)
-            for i in range(n_chunks):
-                state, auxs = step_k(
-                    state, cam_grid[idx[k + i * k:k + (i + 1) * k]], tk,
-                    box, c, delta_t, vol,
-                )
+            from nlos_gaussian_renderer_tpu.train import (
+                make_scanned_train_step,
+            )
+
+            step_k = make_scanned_train_step(
+                v_settings, optim, tx, max_sh_degree=0,
+                ref_cam=ref_cam if args.frozen_layout else None,
+                layout_slack=layout_slack,
+            )
+        else:
+            step = make_train_step(v_settings, optim, tx, max_sh_degree=0)
+
+        log(f"[{tag}] compiling + warmup ...")
+        t0 = time.time()
+        if k > 1:
+            state, auxs = step_k(
+                state, cam_grid[idx[:k]], jnp.broadcast_to(
+                    targets, (k,) + targets.shape
+                ), box, c, delta_t, vol,
+            )
             last_loss = auxs.loss[-1]
         else:
-            for i in range(k, k + iters):
+            for i in range(k):
                 state, aux = step(
                     state, cam_grid[idx[i]], targets, box, c, delta_t, vol
                 )
             last_loss = aux.loss
         jax.block_until_ready(state.scene.means)
-    dt = time.time() - t0
-    ms_per_iter = dt / iters * 1000.0 / args.batch
-    assert np.isfinite(float(last_loss))
+        log(f"[{tag}] warmup done in {time.time()-t0:.1f}s; "
+            f"loss={float(last_loss):.6f}")
+
+        trace_ctx = (
+            jax.profiler.trace(trace_dir) if trace_dir
+            else contextlib.nullcontext()
+        )
+        t0 = time.time()
+        with trace_ctx:
+            if k > 1:
+                tk = jnp.broadcast_to(targets, (k,) + targets.shape)
+                for i in range(n_chunks):
+                    state, auxs = step_k(
+                        state, cam_grid[idx[k + i * k:k + (i + 1) * k]], tk,
+                        box, c, delta_t, vol,
+                    )
+                last_loss = auxs.loss[-1]
+            else:
+                for i in range(k, k + iters):
+                    state, aux = step(
+                        state, cam_grid[idx[i]], targets, box, c, delta_t,
+                        vol,
+                    )
+                last_loss = aux.loss
+            jax.block_until_ready(state.scene.means)
+        dt = time.time() - t0
+        ms = dt / iters * 1000.0 / args.batch
+        assert np.isfinite(float(last_loss))
+        log(f"[{tag}] {ms:.3f} ms/iter")
+        return ms
+
+    ms_per_iter = time_variant(settings, "exact" if not args.bwd_bf16
+                               else "bf16", trace_dir=args.trace)
+    # Companion precision row (VERDICT r4 #6: BENCH series comparability —
+    # r3's headline was the bf16 backward, r4+ is exact; emit BOTH). Only
+    # for the rsort family where the toggle exists, and skip when the user
+    # explicitly picked a precision variant.
+    companion_ms = None
+    if (args.backend in ("pallas_rsort", "pallas_analytic", "pallas_dsort")
+            and not args.bwd_bf16 and not args.fwd_bf16
+            and not args.bwd_exp_bf16):
+        spec_b = settings.rsort_spec._replace(bwd_p_bf16=True)
+        companion_ms = time_variant(
+            settings._replace(rsort_spec=spec_b), "bf16-companion"
+        )
 
     # Reference training iteration: dense PyTorch, 5k Gaussians, RTX 3090
     # (the only reference path with working gradients).
@@ -310,6 +335,11 @@ def main():
         "unit": "ms",
         "vs_baseline": round(baseline_train_ms / ms_per_iter, 2),
     }
+    if companion_ms is not None:
+        # Keep the cross-round series comparable: the headline `value` is
+        # the EXACT bf16x3 backward; r3's 6.774 was the bf16 one.
+        result["exact_bwd_ms"] = round(ms_per_iter, 3)
+        result["bf16_bwd_ms"] = round(companion_ms, 3)
     print(json.dumps(result))
 
 

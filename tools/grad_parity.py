@@ -384,6 +384,35 @@ def main():
             spec3._replace(gate_bins=spec3.t_chunk), grads_dense,
             "exact bf16x3 + single gate (gate-ladder probe)"
         )
+    if "maskeq" in want:
+        # Dead-block-safety invariant (VERDICT r4 #5): the flagship path
+        # skips the post-kernel dead-block mask on a prose proof that the
+        # pad_gather backward never reads never-visited blocks. Check it ON
+        # HARDWARE: gradients with mask_dead_blocks on/off must be
+        # BIT-IDENTICAL at every probe cam.
+        gfn_m = jax.jit(
+            jax.grad(loss_rsort, has_aux=True), static_argnames=("settings",)
+        )
+        worst = 0.0
+        for i, cam in enumerate(probe_cams):
+            g_off, _ = gfn_m(
+                scene, jnp.asarray(cam), rsort_settings(spec3)
+            )
+            g_on, _ = gfn_m(
+                scene, jnp.asarray(cam),
+                rsort_settings(spec3._replace(mask_dead_blocks=True)),
+            )
+            for name in GROUPS:
+                a = np.asarray(getattr(g_off, name))
+                b = np.asarray(getattr(g_on, name))
+                d = float(np.abs(a - b).max())
+                worst = max(worst, d)
+        log(f"[maskeq] max |grad(mask off) - grad(mask on)| over cams/groups:"
+            f" {worst:.3e}")
+        out["rows"]["dead_block_mask_equality"] = {
+            "max_abs_grad_diff": worst,
+            "bit_identical": worst == 0.0,
+        }
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -271,10 +271,60 @@ def main():
     log(f"chunked-dense ground truth done in {time.time()-t0:.0f}s "
         f"(chunk={args.chunk})")
 
+    gt_noise = None
+    if "gtnoise" in set(args.rows.split(",")):
+        # The ground truth's own noise floor: the same dense gradient with a
+        # different summation order (2x the chunk). Any rsort-vs-dense
+        # parity number is only meaningful relative to this.
+        args2 = args.chunk * 2
+
+        def loss_dense2(sc, cam):
+            grid = shell_grid(cam, box, ns, start, end, c, delta_t)
+            points = jax.lax.stop_gradient(grid.points.reshape(-1, 3))
+            xf = gmath.point_monomials(points)
+            gf = sc.quadratic_form(1.0)
+            w = sc.opacities[:, 0] * view_albedo(sc, cam, 0)
+            n = gf.shape[0]
+            pad = (-n) % args2
+            gf_c = jnp.pad(gf, ((0, pad), (0, 0))).reshape(
+                (n + pad) // args2, args2, -1
+            )
+            w_c = jnp.pad(w, (0, pad)).reshape((n + pad) // args2, args2)
+
+            @jax.checkpoint
+            def body(acc, xs):
+                g2, wc = xs
+                p = jnp.exp(-0.5 * gmath.mahalanobis_matmul(xf, g2))
+                return acc + jnp.einsum(
+                    "an,n->a", p, wc, precision=jax.lax.Precision.HIGHEST
+                ), None
+
+            field, _ = jax.lax.scan(
+                body, jnp.zeros((xf.shape[0],), jnp.float32), (gf_c, w_c)
+            )
+            r2 = field.reshape(num_r, ns2) * attenuation_weights(grid)
+            hist = jnp.sum(r2 * (vol[1] ** 2), axis=1) * grid.dtheta * grid.dphi
+            return mse_loss(hist, target)[0]
+
+        g2fn = jax.jit(jax.grad(loss_dense2))
+        gt_noise = {g: 0.0 for g in GROUPS}
+        for i, cam in enumerate(probe_cams):
+            g2 = g2fn(scene, jnp.asarray(cam))
+            for name in GROUPS:
+                a = np.asarray(getattr(g2, name), np.float64)
+                b = np.asarray(getattr(grads_dense[i], name), np.float64)
+                rel = float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30))
+                gt_noise[name] = max(gt_noise[name], rel)
+        log("[gtnoise] dense GT self-noise (chunk x2), worst cam: " + "  ".join(
+            f"{g}: {gt_noise[g]:.2e}" for g in GROUPS
+        ))
+
+    fd_record = None
     if args.fd:
         # Directional-derivative arbitration. Both forwards agree in value;
         # if FD of BOTH forwards matches one analytic gradient and not the
         # other, the other backward is wrong.
+        fd_record = {}
         settings3 = rsort_settings(spec3)
         ldense = jax.jit(lambda sc, cam: loss_dense_chunked(sc, cam)[0])
         lrsort = jax.jit(
@@ -298,8 +348,13 @@ def main():
             a = np.asarray(getattr(gr, name), np.float64)
             b = np.asarray(getattr(gd, name), np.float64)
             na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            cosab = float((a * b).sum() / (na * nb + 1e-30))
             log(f"[fd:{name}] ||g_dense||={nb:.4e} ||g_rsort||={na:.4e} "
-                f"cos={float((a*b).sum()/(na*nb+1e-30)):+.4f}")
+                f"cos={cosab:+.4f}")
+            fd_record[name] = {
+                "norm_dense": float(nb), "norm_rsort": float(na),
+                "cos": cosab, "dirs": {},
+            }
             # FD along each analytic gradient direction, through BOTH
             # forwards. The true directional derivative along v-hat is
             # <g_true, v-hat>; if dense is right, FD along g_dense-hat ==
@@ -328,6 +383,13 @@ def main():
                 log(f"[fd:{name}] dir={tag} noise floor: "
                     f"dense={abs(l0d_a-l0d_b):.3e} "
                     f"rsort={abs(l0r_a-l0r_b):.3e} (|L(+0)-L(-0)|)")
+                drec = {
+                    "pred_dense": pred_d, "pred_rsort": pred_r,
+                    "noise_floor_dense": abs(l0d_a - l0d_b),
+                    "noise_floor_rsort": abs(l0r_a - l0r_b),
+                    "eps": {},
+                }
+                fd_record[name]["dirs"][tag] = drec
                 for eps in (3e-3, 1e-3):
                     lpd, lpr = ev_pair(+1.0, eps)
                     lmd, lmr = ev_pair(-1.0, eps)
@@ -336,6 +398,9 @@ def main():
                     log(f"[fd:{name}] dir={tag} eps={eps:.0e} "
                         f"fd_dense={fd_d:+.6e} fd_rsort={fd_r:+.6e} "
                         f"pred_dense={pred_d:+.6e} pred_rsort={pred_r:+.6e}")
+                    drec["eps"][f"{eps:.0e}"] = {
+                        "fd_dense": fd_d, "fd_rsort": fd_r,
+                    }
 
     out = {
         "scene": {
@@ -355,6 +420,10 @@ def main():
         "platform": str(jax.devices()),
         "rows": {},
     }
+    if gt_noise is not None:
+        out["rows"]["dense_gt_self_noise_chunk_x2"] = {
+            g: {"rel_l2": gt_noise[g]} for g in GROUPS
+        }
     if "sigma3" in want:
         out["rows"]["exact_bf16x3_sigma3"] = measure(
             spec3, grads_dense, "exact bf16x3, sigma_cull=3 (headline config)"
@@ -414,7 +483,24 @@ def main():
             "bit_identical": worst == 0.0,
         }
 
+    if fd_record is not None:
+        out["fd_arbitration_cam1"] = fd_record
+
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # Merge into an existing artifact: probe runs (--rows maskeq etc.) add
+    # rows without clobbering previously measured ones.
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("scene") == out["scene"]:
+                prev_rows = prev.get("rows", {})
+                prev_rows.update(out["rows"])
+                prev.update(out)
+                prev["rows"] = prev_rows
+                out = prev
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     log(f"wrote {args.out}")

@@ -89,6 +89,12 @@ def main():
                          "for narrow-aperture geometries.")
     ap.add_argument("--no-frozen-layout", dest="frozen_layout",
                     action="store_false")
+    ap.add_argument("--parity-check", action="store_true", default=True,
+                    help="before timing, assert the jitted kernel's forward "
+                         "histogram matches a chunked-dense reference on "
+                         "this chip (catches jit-only numerics corruption)")
+    ap.add_argument("--no-parity-check", dest="parity_check",
+                    action="store_false")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed loop "
                          "(analyze with tools/trace_report.py DIR --steps N)")
@@ -239,7 +245,10 @@ def main():
     def time_variant(v_settings, tag, trace_dir=None):
         """Compile + warmup + time the train step for one settings variant.
         Returns ms/iter. Fresh state per variant (the scanned step donates)."""
-        state = create_train_state(scene, tx)
+        # Fresh buffer copies: the scanned step DONATES its state, and the
+        # state's arrays alias `scene` — a second variant would otherwise
+        # hit deleted buffers.
+        state = create_train_state(jax.tree.map(jnp.copy, scene), tx)
         if k > 1:
             from nlos_gaussian_renderer_tpu.train import (
                 make_scanned_train_step,
@@ -299,6 +308,69 @@ def main():
         assert np.isfinite(float(last_loss))
         log(f"[{tag}] {ms:.3f} ms/iter")
         return ms
+
+    if args.parity_check and args.backend != "dense":
+        # Always-on hardware forward-parity gate (VERDICT r4 #1): the timed
+        # kernel's histogram must match a Gaussian-chunked dense reference
+        # ON THIS CHIP before the timing is trusted. Catches jit-only
+        # numerics corruption (e.g. the round-5 excess-precision fold) that
+        # interpret-mode tests structurally cannot see.
+        from nlos_gaussian_renderer_tpu.ops.render import (
+            render_transient,
+            view_albedo,
+        )
+        from nlos_gaussian_renderer_tpu.ops.sampling import (
+            attenuation_weights,
+            shell_grid,
+        )
+
+        pcam = jnp.asarray(np.array([0.0, 0.0, 0.0], np.float32))
+
+        def dense_hist(sc, cam):
+            grid = shell_grid(cam, box, 32, 100, 300, c, delta_t)
+            xfeat = gmath.point_monomials(
+                jax.lax.stop_gradient(grid.points.reshape(-1, 3))
+            )
+            gfeat = sc.quadratic_form(1.0)
+            w = sc.opacities[:, 0] * view_albedo(sc, cam, 0)
+            chunk = 512
+            n = gfeat.shape[0]
+            pad = (-n) % chunk
+            gf_c = jnp.pad(gfeat, ((0, pad), (0, 0))).reshape(
+                (n + pad) // chunk, chunk, -1
+            )
+            w_c = jnp.pad(w, (0, pad)).reshape((n + pad) // chunk, chunk)
+
+            @jax.checkpoint
+            def body(acc, xs):
+                gf, wc = xs
+                p = jnp.exp(-0.5 * gmath.mahalanobis_matmul(xfeat, gf))
+                return acc + jnp.einsum(
+                    "an,n->a", p, wc, precision=jax.lax.Precision.HIGHEST
+                ), None
+
+            field, _ = jax.lax.scan(
+                body, jnp.zeros((xfeat.shape[0],), jnp.float32), (gf_c, w_c)
+            )
+            r2 = field.reshape(num_r, 1024) * attenuation_weights(grid)
+            return jnp.sum(r2 * (vol[1] ** 2), axis=1) * grid.dtheta * grid.dphi
+
+        hd = np.asarray(jax.jit(dense_hist)(scene, pcam), np.float64)
+        _, hk, _ = jax.jit(
+            lambda sc, cam: render_transient(
+                sc, cam, box, c, delta_t, vol, 0, settings
+            )
+        )(scene, pcam)
+        hk = np.asarray(hk, np.float64)
+        rel = float(np.linalg.norm(hk - hd) / (np.linalg.norm(hd) + 1e-30))
+        log(f"hardware forward parity (jitted {args.backend} vs chunked "
+            f"dense): rel_l2={rel:.3e}")
+        gate = 3e-3 if args.backend.startswith("pallas_analytic") or \
+            args.backend == "analytic" else 1.5e-3
+        assert rel < gate, (
+            f"hardware parity {rel:.3e} exceeds {gate} — the timed kernel "
+            "is numerically wrong on this chip; fix before trusting timings"
+        )
 
     ms_per_iter = time_variant(settings, "exact" if not args.bwd_bf16
                                else "bf16", trace_dir=args.trace)

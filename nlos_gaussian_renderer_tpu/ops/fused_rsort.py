@@ -1188,15 +1188,27 @@ def xfeat_slab(xfeat):
     the cost of 1.5x the window DMA (640 KB -> 960 KB per backward item —
     double-buffered behind compute). Samples ride LANES (see rsort_field).
 
-    The hi value is pinned behind `lax.optimization_barrier`: this split
-    runs in XLA-land (unlike `_split_hi_lo`, whose callers are all inside
-    Mosaic kernels), and XLA's default `allow_excess_precision` folds the
-    f32->bf16->f32 round-trip under jit, silently zeroing x_lo — the exact
-    bf16x3 path would degrade to single-bf16 Mahalanobis precision. Eager
-    execution materializes each op, which is why the corruption was
-    jit-only (diagnosed round 5; see docs/grad_parity_100k.json history)."""
-    x_hi = jax.lax.optimization_barrier(xfeat.astype(jnp.bfloat16))
-    x_lo = (xfeat - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    This split runs in XLA-land (unlike `_split_hi_lo`, whose callers are
+    all inside Mosaic kernels), where XLA's default `allow_excess_precision`
+    folds the Dekker round-trip `x - f32(bf16(x))` to zero under jit — the
+    exact bf16x3 path silently degrades to single-bf16 Mahalanobis
+    precision (eager execution materializes each op, which is why the
+    round-4 corruption was jit-only). Fold-proof form: truncate the
+    mantissa by BITMASK instead of a convert pair — no f32->bf16->f32
+    round-trip exists, so there is nothing for XLA to fold, and (unlike an
+    `optimization_barrier`) fusion across the slab build is preserved
+    (barrier variant: 8.68 ms/step at 100k; bitcast: 8.04). hi is the
+    TRUNCATED bf16 (exactly representable; the convert just narrows), and
+    lo = x - hi is exact in f32 before its own bf16 rounding — |lo| <=
+    2^-8 |x| vs the round-split's 2^-9, identical at bf16x3's accuracy
+    floor (hardware parity 4.6e-4, unchanged). Locked by
+    `TestHiLoSplitSurvivesJit`."""
+    bits = jax.lax.bitcast_convert_type(xfeat, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    x_hi = hi_f32.astype(jnp.bfloat16)
+    x_lo = (xfeat - hi_f32).astype(jnp.bfloat16)
     return jnp.concatenate([x_hi, x_hi, x_lo], axis=-1).transpose(0, 2, 1)
 
 

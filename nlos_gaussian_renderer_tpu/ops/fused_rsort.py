@@ -752,6 +752,20 @@ def _build_work_lists(
     interp = _interpret_default() if interpret is None else interpret
     w = spec.w_max
     nq = t_ang * n_ch
+    # The builder's outputs + scratch live in SMEM (~1 MB/core): 12 w-sized
+    # lists + 3 nq-sized cursors + 2 nq scratch + kb counts. Fail at trace
+    # time with an actionable message instead of an opaque compiler OOM
+    # (hit by the first 50k run: t_chunk=8 x 310 bins x densified 100k
+    # population -> w_max ~150k -> 7.18 MB requested).
+    smem_bytes = 4 * (12 * w + 5 * nq + kb + 1)
+    if not interp and smem_bytes > 900_000:
+        raise ValueError(
+            f"work-list builder needs ~{smem_bytes/1e6:.2f} MB of SMEM "
+            f"(w_max={w}, {n_ch} radial chunks x {t_ang} tiles) but SMEM "
+            "is ~1 MB. Use fewer, larger radial chunks — the single "
+            "full-window t_chunk (RenderSettings.from_config default) "
+            "keeps w_max at O(blocks x tiles)."
+        )
     wi = jax.ShapeDtypeStruct((w,), jnp.int32)
     return pl.pallas_call(
         functools.partial(

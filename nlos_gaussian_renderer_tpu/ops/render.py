@@ -73,6 +73,22 @@ class RenderSettings(NamedTuple):
             tile_spec = tile_spec._replace(t_theta=tt, t_phi=tp, t_r=tr)
         if getattr(cfg, "cull_k_max", None) is not None:
             tile_spec = tile_spec._replace(k_max=cfg.cull_k_max)
+        # rsort-family radial schedule: ONE chunk covering the whole bin
+        # window (the bl-anchored gate ladder skips out-of-span gates
+        # exactly, so bigger chunks only cut the per-(tile, block) item
+        # count — bench-measured fastest) — and the only schedule that
+        # scales: with the old t_chunk=8 default, a 310-bin window at a
+        # densified 100k population produced ~39 chunks x ~650 blocks x 8
+        # tiles of work items, and the builder's 12 SMEM work-list outputs
+        # (12 * w_max * 4 B) blew the 1 MB SMEM budget at compile time
+        # (7.18 M requested — found by the first real 50k-iteration run,
+        # round 5). Single-chunk keeps w_max at O(blocks x tiles).
+        gate_bins = getattr(cfg, "rsort_gate_bins", None) or 8
+        num_bins = cfg.end - cfg.start
+        t_chunk = getattr(cfg, "rsort_t_chunk", None) or (
+            -(-num_bins // gate_bins) * gate_bins
+        )
+        rsort_spec = RSortSpec(t_chunk=t_chunk, gate_bins=gate_bins)
         return cls(
             num_sampling_points=cfg.num_sampling_points,
             start=cfg.start,
@@ -89,6 +105,7 @@ class RenderSettings(NamedTuple):
                 else "dense"
             ),
             tile_spec=tile_spec,
+            rsort_spec=rsort_spec,
         )
 
 
@@ -586,18 +603,31 @@ def render_histogram_batch(
     scene, camera_positions, box_points, c, delta_t, volume_position,
     active_sh_degree, settings: RenderSettings,
 ) -> jax.Array:
-    """(B, num_r) histograms for a batch of scan points (vmap over cameras).
+    """(B, num_r) histograms for a batch of scan points.
 
     Batched counterpart of the reference's (unfinished) `batch_compute_loss` /
     `batch_estimate_rho_w_no_occlusion` (`nlos_helpers.py:348-351`,
     `gaussian_model.py:366-389`).
-    """
-    return jax.vmap(
-        lambda cam: render_histogram(
+
+    Dense/analytic backends vmap over cameras. The block-sparse Pallas
+    backends run a sequential `lax.map` instead: Mosaic cannot lower a
+    BATCHED `_ws_build_kernel` (its SMEM work-list outputs pick up a batch
+    dim the lowering rejects — hardware-only failure, interpret-mode vmap
+    works), and eval-time batch rendering is bandwidth-bound anyway, so a
+    per-camera loop costs nothing material."""
+    cams = jnp.asarray(camera_positions)
+
+    def one(cam):
+        return render_histogram(
             scene, cam, box_points, c, delta_t, volume_position,
             active_sh_degree, settings,
         )
-    )(jnp.asarray(camera_positions))
+
+    if settings.backend in (
+        "pallas", "pallas_rsort", "pallas_analytic", "pallas_dsort"
+    ):
+        return jax.lax.map(one, cams)
+    return jax.vmap(one)(cams)
 
 
 def mse_loss(pred_hist, target_hist) -> Tuple[jax.Array, jax.Array]:

@@ -1661,6 +1661,29 @@ def _wide_pad_gather_bwd(n_diff, inv_perm, g):
 wide_pad_gather.defvjp(_wide_pad_gather_fwd, _wide_pad_gather_bwd)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spec", "ns", "start", "end", "c", "delta_t", "scaling_modifier"
+    ),
+)
+def _tune_probe_jit(means, scales, alive, cams, box_points, *, spec, ns,
+                    start, end, c, delta_t, scaling_modifier):
+    """One dispatch: cull every probe cam, return (max items, max groups)."""
+    from nlos_gaussian_renderer_tpu.ops.sampling import shell_grid
+
+    def one(cam):
+        grid = shell_grid(cam, box_points, ns, start, end, c, delta_t)
+        t = rsort_cull(
+            means, scales, alive, cam, grid.theta, grid.phi, grid.r, spec,
+            scaling_modifier,
+        )
+        return t.n_items[0], jnp.asarray(t.n_groups)
+
+    items, groups = jax.lax.map(one, cams)
+    return jnp.max(items), jnp.max(groups)
+
+
 def tune_rsort_spec(
     scene,
     camera_positions,  # (B, 3) representative scan points
@@ -1715,20 +1738,38 @@ def tune_rsort_spec(
             jnp.asarray(ref_cam, jnp.float32), grid0.theta, grid0.phi,
             grid0.r, probe, scaling_modifier, slack=slack,
         )
-    max_items = 1
-    max_groups_obs = 1
-    for cam in np.asarray(camera_positions).reshape(-1, 3):
-        grid = shell_grid(
-            jnp.asarray(cam), box_points, num_sampling_points, start, end,
-            c, delta_t,
+    cams = np.asarray(camera_positions, np.float32).reshape(-1, 3)
+    if layout is None:
+        # Hot path: `fit` re-tunes after EVERY densification event, so the
+        # probe must be cheap. One jitted dispatch maps the cull over all
+        # probe cams (lax.map, not vmap — Mosaic rejects a batched
+        # `_ws_build_kernel`); eager probing cost ~5-10 s per re-tune
+        # through the dispatch tunnel (~40% of the first real 50k run's
+        # steady-state wall clock).
+        items, groups = _tune_probe_jit(
+            scene.means, scene.scales, scene.alive, jnp.asarray(cams),
+            jnp.asarray(box_points), spec=probe,
+            ns=num_sampling_points, start=start, end=end, c=c,
+            delta_t=delta_t, scaling_modifier=scaling_modifier,
         )
-        t = rsort_cull(
-            scene.means, scene.scales, scene.alive, jnp.asarray(cam),
-            grid.theta, grid.phi, grid.r, probe, scaling_modifier,
-            layout=layout,
-        )
-        max_items = max(max_items, int(t.n_items[0]))
-        max_groups_obs = max(max_groups_obs, int(t.n_groups))
+        max_items = max(1, int(items))
+        max_groups_obs = max(1, int(groups))
+    else:
+        # Frozen-layout tuning (bench/option path): rare, stays eager.
+        max_items = 1
+        max_groups_obs = 1
+        for cam in cams:
+            grid = shell_grid(
+                jnp.asarray(cam), box_points, num_sampling_points, start,
+                end, c, delta_t,
+            )
+            t = rsort_cull(
+                scene.means, scene.scales, scene.alive, jnp.asarray(cam),
+                grid.theta, grid.phi, grid.r, probe, scaling_modifier,
+                layout=layout,
+            )
+            max_items = max(max_items, int(t.n_items[0]))
+            max_groups_obs = max(max_groups_obs, int(t.n_groups))
 
     return base._replace(
         w_max=int(max_items * headroom) + 8,

@@ -130,18 +130,23 @@ def main():
     t0 = time.time()
 
     def cb(it, state, aux):
+        # `fit` passes the 0-BASED loop index (callback fires at it_end-1);
+        # done = it + 1 iterations. (Round-5 fix: the old `it % ckpt_every`
+        # test never fired — 4999 % 5000 != 0 — so the first completed 50k
+        # run saved no checkpoints.)
+        done = it + 1
         alive = int(float(jnp.sum(state.scene.alive)))
         events.append(
-            (it, round(time.time() - t0, 1), float(aux.loss), alive)
+            (done, round(time.time() - t0, 1), float(aux.loss), alive)
         )
-        log(f"[cb] iter {it}: loss={float(aux.loss):.5f} alive={alive} "
+        log(f"[cb] iter {done}: loss={float(aux.loss):.5f} alive={alive} "
             f"wall={time.time()-t0:.0f}s")
-        if it % args.ckpt_every == 0 or it == args.iters:
+        if done % args.ckpt_every == 0 or done == args.iters:
             path = save_checkpoint(
-                os.path.abspath(args.ckpt_dir), state, step=it
+                os.path.abspath(args.ckpt_dir), state, step=done
             )
-            ckpts.append(it)
-            log(f"[cb] checkpoint @ {it} -> {path}")
+            ckpts.append(done)
+            log(f"[cb] checkpoint @ {done} -> {path}")
 
     res = fit(
         cfg, optim, data, num_iters=args.iters, init_points=pts,

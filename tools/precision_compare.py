@@ -42,7 +42,10 @@ def main():
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--scan", type=int, default=16, help="scan grid side")
     ap.add_argument("--scan-chunk", type=int, default=10)
-    ap.add_argument("--t-chunk", type=int, default=64)
+    ap.add_argument("--t-chunk", type=int, default=0,
+                    help="0 = ONE chunk covering the window (the bench "
+                         "schedule; multi-chunk probe caps at 100k exceed "
+                         "the builder's SMEM budget)")
     ap.add_argument("--gate-bins", type=int, default=8)
     ap.add_argument("--seeds", default="1,2,3",
                     help="comma list of scan-stream seeds (paired runs per "
@@ -121,7 +124,8 @@ def main():
     )
 
     # Match the headline benchmark's kernel schedule exactly.
-    base = RSortSpec(t_chunk=args.t_chunk, gate_bins=args.gate_bins)
+    t_chunk = args.t_chunk or -(-(300 - 100) // args.gate_bins) * args.gate_bins
+    base = RSortSpec(t_chunk=t_chunk, gate_bins=args.gate_bins)
     probe_cams = np.stack(
         [[-0.4, 0, -0.4], [0, 0, 0], [0.4, 0, 0.4]]
     ).astype(np.float32)

@@ -550,25 +550,59 @@ def tile_points_centered_direct(theta, phi, r, cam, spec: TileSpec,
     Returns:
       (xfeat (T, S, 10) centered monomials, centers (T, 3)).
     """
-    ns = theta.shape[0]
-    num_r = r.shape[0]
+    pts, centers = _tile_points_centered_direct_pts(
+        theta, phi, r, cam, spec, n_tt, n_pt, n_rt
+    )
+    return gmath.point_monomials(pts - centers[:, None, :]), centers
+
+
+def tile_points_centered_direct_t(theta, phi, r, cam, spec: TileSpec,
+                                  n_tt: int, n_pt: int, n_rt: int):
+    """`tile_points_centered_direct` in the kernels' TRANSPOSED orientation.
+
+    Emits the centered monomials as ROWS — (T, 10, S) with samples on the
+    minor (lane) axis — by stacking the ten (T, S) elementwise products on
+    axis=1 instead of building (T, S, 10) and transposing: the kernels
+    consume the bf16 slab as (T, 3*FDIM, S) (`xfeat_slab_t`), and the
+    (T, S, 90) -> (T, 90, S) minor-axis shuffle of the row-major build is a
+    real data movement XLA cannot fuse away.
+
+    Returns:
+      (xfeat_t (T, 10, S) centered monomial rows, centers (T, 3)).
+    """
+    xf, centers = _tile_points_centered_direct_pts(
+        theta, phi, r, cam, spec, n_tt, n_pt, n_rt
+    )
+    cx = xf[..., 0] - centers[:, None, 0]  # (T, S)
+    cy = xf[..., 1] - centers[:, None, 1]
+    cz = xf[..., 2] - centers[:, None, 2]
+    one = jnp.ones_like(cx)
+    rows = jnp.stack(
+        [cx * cx, cy * cy, cz * cz, cx * cy, cx * cz, cy * cz,
+         cx, cy, cz, one],
+        axis=1,
+    )  # (T, 10, S)
+    return rows, centers
+
+
+def _tile_points_centered_direct_pts(theta, phi, r, cam, spec: TileSpec,
+                                     n_tt: int, n_pt: int, n_rt: int):
+    """Shared sample generation for the two direct tilers: tile-major
+    (T, S, 3) points + (T, 3) centroids."""
 
     def pad_axis(v, tile, n_tiles):
         extra = n_tiles * tile - v.shape[0]
         if extra:
-            # Single-sample axes have no spacing to extrapolate from; repeat
-            # the lone value (padded outputs are dropped by untile_field).
             step = v[-1] - v[-2] if v.shape[0] >= 2 else jnp.zeros((), v.dtype)
             v = jnp.concatenate([v, v[-1] + step * jnp.arange(1, extra + 1)])
         return v.reshape(n_tiles, tile)
 
-    th = pad_axis(theta, spec.t_theta, n_tt)  # (n_tt, t_theta)
-    ph = pad_axis(phi, spec.t_phi, n_pt)  # (n_pt, t_phi)
-    rr = pad_axis(r, spec.t_r, n_rt)  # (n_rt, t_r)
-
-    sin_t = jnp.sin(th)[:, None, :, None]  # (n_tt, 1, t_theta, 1)
+    th = pad_axis(theta, spec.t_theta, n_tt)
+    ph = pad_axis(phi, spec.t_phi, n_pt)
+    rr = pad_axis(r, spec.t_r, n_rt)
+    sin_t = jnp.sin(th)[:, None, :, None]
     cos_t = jnp.cos(th)[:, None, :, None]
-    cos_p = jnp.cos(ph)[None, :, None, :]  # (1, n_pt, 1, t_phi)
+    cos_p = jnp.cos(ph)[None, :, None, :]
     sin_p = jnp.sin(ph)[None, :, None, :]
     dirs = jnp.stack(
         [
@@ -579,8 +613,7 @@ def tile_points_centered_direct(theta, phi, r, cam, spec: TileSpec,
             ),
         ],
         axis=-1,
-    )  # (n_tt, n_pt, t_theta, t_phi, 3)
-    # (n_rt, n_tt, n_pt, t_r, t_theta, t_phi, 3): tile-major by construction.
+    )
     pts = (
         rr[:, None, None, :, None, None, None]
         * dirs[None, :, :, None, :, :, :]
@@ -589,8 +622,7 @@ def tile_points_centered_direct(theta, phi, r, cam, spec: TileSpec,
     t = n_rt * n_tt * n_pt
     s = spec.t_r * spec.t_theta * spec.t_phi
     pts = pts.reshape(t, s, 3)
-    centers = jnp.mean(pts, axis=1)
-    return gmath.point_monomials(pts - centers[:, None, :]), centers
+    return pts, jnp.mean(pts, axis=1)
 
 
 def untile_field(out: jax.Array, ns: int, num_r: int, spec: TileSpec,
